@@ -1,0 +1,38 @@
+"""adaflo-tpu: a TPU-native adaptive finite-element incompressible flow solver.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the adaflo
+library (matrix-free incompressible Navier-Stokes + two-phase flow via
+conservative level set and Cahn-Hilliard phase field), built for TPU:
+
+- structure-of-arrays cell-batched data model (cells are the vector lanes,
+  replacing the reference's ``VectorizedArray`` SIMD cell batching),
+- sum-factorized cell integrals as batched tensor contractions that XLA maps
+  onto the MXU/VPU,
+- all Krylov solvers as jitted ``lax.while_loop`` iterations with fused
+  reductions,
+- distribution via ``jax.sharding``/``shard_map`` over a chip mesh instead of
+  MPI ghost exchange.
+
+Reference for capability parity: kronbichler/adaflo (C++/deal.II/Trilinos),
+see SURVEY.md at the repo root.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# The solver targets double precision (golden-output parity with the
+# reference); opt out with ADAFLO_TPU_NO_X64=1 for bf16/f32 benchmarking.
+if not _os.environ.get("ADAFLO_TPU_NO_X64"):
+    _jax.config.update("jax_enable_x64", True)
+
+from adaflo_tpu.parameters import FlowParameters
+from adaflo_tpu.time_stepping import TimeStepping, TimeSteppingScheme
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FlowParameters",
+    "TimeStepping",
+    "TimeSteppingScheme",
+]

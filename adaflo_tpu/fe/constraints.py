@@ -1,0 +1,122 @@
+"""Affine constraints as precomputed gather/scatter index maps.
+
+TPU-native counterpart of deal.II AffineConstraints as used by the reference
+(/root/reference/source/navier_stokes.cc:228-360): Dirichlet rows, periodicity
+and (later) hanging nodes are all represented as static index/weight arrays so
+that constraint application inside jitted code is a masked gather — no
+host-side logic on the hot path.
+
+Semantics mirror deal.II matrix-free exactly:
+- ``resolve`` = read_dof_values: constrained entries replaced by their
+  (homogeneous) constraint expansion; Dirichlet entries read 0.
+- plain gather (residuals) uses the raw vector, honoring inhomogeneous
+  boundary values written into the solution (navier_stokes_matrix.cc:659-666).
+- ``condense`` = distribute_local_to_global: slave-row contributions
+  accumulate into master rows, constrained rows end at zero.
+- ``distribute``: writes the constraint values into a vector (homogeneous:
+  Dirichlet rows zeroed, slaves = weighted masters).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class Constraints:
+    """Constraints for one scalar dof vector of length n_dofs.
+
+    Vector-valued fields (velocity) keep one Constraints object per
+    component, matching the per-component masks the structured boundary
+    conditions produce (symmetry planes constrain only the normal
+    component)."""
+
+    def __init__(self, n_dofs: int) -> None:
+        self.n_dofs = n_dofs
+        self._dirichlet = np.zeros(n_dofs, dtype=bool)
+        # general affine rows: slave -> sum_k weight * master
+        self._slaves: list[np.ndarray] = []
+        self._masters: list[np.ndarray] = []
+        self._weights: list[np.ndarray] = []
+        self._closed = False
+
+    # -- construction ------------------------------------------------------
+    def add_dirichlet(self, dofs: np.ndarray) -> None:
+        assert not self._closed
+        self._dirichlet[np.asarray(dofs, dtype=np.int64)] = True
+
+    def add_affine(
+        self, slaves: np.ndarray, masters: np.ndarray, weights: np.ndarray
+    ) -> None:
+        assert not self._closed
+        self._slaves.append(np.asarray(slaves, dtype=np.int64))
+        self._masters.append(np.asarray(masters, dtype=np.int64))
+        self._weights.append(np.asarray(weights, dtype=np.float64))
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._slaves:
+            self.slave = np.concatenate(self._slaves)
+            self.master = np.concatenate(self._masters)
+            self.weight = np.concatenate(self._weights)
+            # a dof that is Dirichlet wins over an affine row
+            keep = ~self._dirichlet[self.slave]
+            self.slave = self.slave[keep]
+            self.master = self.master[keep]
+            self.weight = self.weight[keep]
+        else:
+            self.slave = np.empty(0, dtype=np.int64)
+            self.master = np.empty(0, dtype=np.int64)
+            self.weight = np.empty(0, dtype=np.float64)
+        self.dirichlet_dofs = np.flatnonzero(self._dirichlet)
+        is_constrained = self._dirichlet.copy()
+        is_constrained[self.slave] = True
+        self.constrained_dofs = np.flatnonzero(is_constrained)
+        self.is_constrained = is_constrained
+        self._closed = True
+
+    @property
+    def n_constrained(self) -> int:
+        return len(self.constrained_dofs)
+
+    # -- device-side application (works on numpy or jax arrays) -----------
+    def resolve(self, u):
+        """read_dof_values semantics: homogeneous expansion of constraints."""
+        assert self._closed
+        import jax.numpy as jnp
+
+        if len(self.slave):
+            # affine slaves: weighted masters (single-master rows here; summed
+            # rows would need a segment-sum, added with hanging nodes)
+            u = u.at[self.slave].set(self.weight * u[self.master])
+        if len(self.dirichlet_dofs):
+            u = u.at[self.dirichlet_dofs].set(jnp.zeros((), u.dtype))
+        return u
+
+    def condense(self, r):
+        """distribute_local_to_global tail: move slave-row sums to masters,
+        zero all constrained rows."""
+        assert self._closed
+        if len(self.slave):
+            r = r.at[self.master].add(self.weight * r[self.slave])
+        if len(self.constrained_dofs):
+            r = r.at[self.constrained_dofs].set(0.0)
+        return r
+
+    def distribute(self, u):
+        """Write constraint values into the vector (homogeneous)."""
+        assert self._closed
+        if len(self.slave):
+            u = u.at[self.slave].set(self.weight * u[self.master])
+        if len(self.dirichlet_dofs):
+            u = u.at[self.dirichlet_dofs].set(0.0)
+        return u
+
+    def set_identity(self, dst, src):
+        """vmult tail: dst[constrained] = sign * src[constrained]
+        (navier_stokes_matrix.cc:247-256)."""
+        if len(self.constrained_dofs):
+            dst = dst.at[self.constrained_dofs].set(src[self.constrained_dofs])
+        return dst
