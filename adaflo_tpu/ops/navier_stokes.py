@@ -1,0 +1,438 @@
+"""Matrix-free Navier-Stokes operator (the hot operator of the framework).
+
+TPU-native re-design of the reference's NavierStokesMatrix
+(/root/reference/source/navier_stokes_matrix.cc:601-916 `local_operation` plus
+the auxiliary ops at cc:920-1140): one fused kernel implements the nonlinear
+residual, the coupled-system mat-vec and the velocity-block mat-vec on
+cell-batched arrays. Terms:
+
+- BDF time derivative with density rho,
+- convective term in beta-weighted skew/conservative/convective form with the
+  reference's five linearizations (Newton / Picard / semi-implicit /
+  explicit / projection) via per-q-point frozen `linearized` fields,
+- damping, symmetric viscous stress 2 mu sym(grad u), grad-div stabilization,
+- pressure-divergence coupling, and the pressure null-space projection for
+  pressure-fix problems (cc:110-168, 191-217).
+
+Layout: velocity (dim, n_dofs_u), pressure (n_dofs_p,); cell batches
+(E, comp, n_local). All methods are pure jax functions closed over static
+index maps; scalars that change per time step (BDF weights) are traced
+arguments so one compiled kernel serves the whole run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.ops.tensor import CellEvaluator
+from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
+
+
+class TimeWeights(NamedTuple):
+    """Per-step scalars entering the kernels (traced, not baked in)."""
+
+    weight: jnp.ndarray  # BDF weight of the new value
+    weight_old: jnp.ndarray
+    weight_old_old: jnp.ndarray
+    tau1: jnp.ndarray  # implicit weight of the spatial terms
+
+    @classmethod
+    def from_time_stepping(cls, ts) -> "TimeWeights":
+        assert ts.tau2() == 0.0, "schemes with tau2 != 0 not supported in NS"
+        return cls(
+            jnp.float64(ts.weight()),
+            jnp.float64(ts.weight_old()),
+            jnp.float64(ts.weight_old_old()),
+            jnp.float64(ts.tau1()),
+        )
+
+
+class Linearized(NamedTuple):
+    """Frozen linearization state at quadrature points (the reference's
+    `linearized_velocities`, navier_stokes_matrix.h:264-283)."""
+
+    val: jnp.ndarray  # (E, dim, n_q) linearization velocity u*
+    grad: Optional[jnp.ndarray]  # (E, dim, dim, n_q) full gradient (Newton)
+    div: jnp.ndarray  # (E, n_q) divergence of u*
+
+
+class Coefficients(NamedTuple):
+    """Optional variable coefficients at quadrature points (two-phase)."""
+
+    rho: Optional[jnp.ndarray] = None  # (E, n_q)
+    mu: Optional[jnp.ndarray] = None  # (E, n_q)
+    damping: Optional[jnp.ndarray] = None  # (E, n_q)
+
+
+class NavierStokesOperator:
+    def __init__(
+        self,
+        parameters: FlowParameters,
+        u_space: ScalarSpace,
+        p_space: ScalarSpace,
+        constraints_u: list[Constraints],
+        constraints_p: Constraints,
+    ) -> None:
+        self.parameters = parameters
+        self.dim = u_space.dim
+        self.u_space = u_space
+        self.p_space = p_space
+        self.constraints_u = constraints_u
+        self.constraints_p = constraints_p
+        mesh = u_space.mesh
+        deg_p = p_space.degree
+        # quadrature with p+2 points: exact enough for the convective term
+        # (mirrors FEEvaluation<dim, degree_p+1, degree_p+2>)
+        self.ev_u = CellEvaluator(self.dim, u_space.basis, deg_p + 2, mesh.h)
+        self.ev_p = CellEvaluator(self.dim, p_space.basis, deg_p + 2, mesh.h)
+        # reduced quadrature (p+1 points) for pressure-only operators
+        self.ev_p_low = CellEvaluator(self.dim, p_space.basis, deg_p + 1, mesh.h)
+        self.cd_u = jnp.asarray(u_space.cell_dofs)
+        self.cd_p = jnp.asarray(p_space.cell_dofs)
+        self.n_q = self.ev_u.n_q
+
+        # pressure constant mode for pure-Dirichlet problems: lumped pressure
+        # mass as weights (navier_stokes_matrix.cc:110-168)
+        self.pressure_fix_mode = None  # set by enable_pressure_fix()
+
+    # ------------------------------------------------------------------
+    # gather / scatter helpers
+    def _gather_u(self, u, resolve: bool):
+        """(dim, n_u) -> (E, dim, n_loc_u)"""
+        if resolve:
+            u = jnp.stack([c.resolve(u[i]) for i, c in enumerate(self.constraints_u)])
+        return jnp.transpose(u[:, self.cd_u], (1, 0, 2))
+
+    def _gather_p(self, p, resolve: bool):
+        if resolve:
+            p = self.constraints_p.resolve(p)
+        return p[self.cd_p]
+
+    def _scatter_u(self, r_cells):
+        """(E, dim, n_loc_u) -> (dim, n_u), with condense."""
+        n = self.u_space.n_dofs
+        flat_idx = self.cd_u.reshape(-1)
+        out = []
+        for c in range(self.dim):
+            r = jnp.zeros(n, r_cells.dtype).at[flat_idx].add(
+                r_cells[:, c, :].reshape(-1)
+            )
+            out.append(self.constraints_u[c].condense(r))
+        return jnp.stack(out)
+
+    def _scatter_p(self, r_cells):
+        n = self.p_space.n_dofs
+        r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
+            r_cells.reshape(-1)
+        )
+        return self.constraints_p.condense(r)
+
+    # ------------------------------------------------------------------
+    def enable_pressure_fix(self) -> None:
+        """Project the constant pressure mode out of residual and vmult
+        (navier_stokes_matrix.cc:110-168: weights = lumped pressure mass,
+        mode zeroed on constrained dofs)."""
+        ones = jnp.ones((self.u_space.mesh.n_cells, self.ev_p_low.n_q))
+        lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
+        mode = jnp.ones(self.p_space.n_dofs)
+        if len(self.constraints_p.constrained_dofs):
+            mode = mode.at[self.constraints_p.constrained_dofs].set(0.0)
+            lumped = lumped.at[self.constraints_p.constrained_dofs].set(0.0)
+        self.pressure_fix_mode = (mode, lumped, 1.0 / float(mode @ lumped))
+
+    def _scatter_p_plain(self, r_cells):
+        n = self.p_space.n_dofs
+        return jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
+            r_cells.reshape(-1)
+        )
+
+    def apply_pressure_average_projection(self, rp):
+        """(navier_stokes_matrix.cc:191-205)"""
+        if self.pressure_fix_mode is None:
+            return rp
+        par = self.parameters
+        if (
+            par.linearization == Linearization.projection
+            or par.physical_type == PhysicalType.incompressible_stationary
+        ):
+            return rp
+        mode, weights, inv = self.pressure_fix_mode
+        return rp - (weights @ rp) * inv * mode
+
+    def apply_pressure_shift(self, shift, p):
+        if self.pressure_fix_mode is None:
+            return p
+        mode, _, _ = self.pressure_fix_mode
+        return p + shift * mode
+
+    # ------------------------------------------------------------------
+    # the fused local kernel (reference local_operation, nsm.cc:601-916)
+    def _q_point_terms(
+        self,
+        op: str,
+        tw: TimeWeights,
+        val_u,  # (E, dim, n_q) or None (stokes)
+        grad_u,  # (E, dim, dim, n_q): [., comp, deriv, q]
+        p_q,  # (E, n_q) or None
+        old_val,
+        old_old_val,
+        lin: Optional[Linearized],
+        coeffs: Coefficients,
+    ):
+        par = self.parameters
+        dim = self.dim
+        beta = par.beta_convective_term_momentum_balance
+        div = jnp.trace(grad_u, axis1=1, axis2=2)  # (E, n_q)
+
+        submit_val = None
+        new_lin = None
+        if par.physical_type != PhysicalType.stokes:
+            rho = coeffs.rho if coeffs.rho is not None else par.density
+            if par.physical_type == PhysicalType.incompressible:
+                conv = val_u * tw.weight
+            else:  # stationary: no time derivative
+                conv = jnp.zeros_like(val_u)
+
+            if op == "residual":
+                if par.physical_type != PhysicalType.incompressible_stationary:
+                    conv = conv + old_val * tw.weight_old + old_old_val * tw.weight_old_old
+                if par.linearization in (
+                    Linearization.projection,
+                    Linearization.coupled_velocity_semi_implicit,
+                    Linearization.coupled_velocity_explicit,
+                ):
+                    # lin.val/div hold the *extrapolated* old velocity here
+                    if par.linearization == Linearization.coupled_velocity_explicit:
+                        res = beta * lin.div[:, None, :] * lin.val + jnp.einsum(
+                            "edq,ecdq->ecq", lin.val, lin.grad
+                        )
+                        conv = conv + tw.tau1 * res
+                        new_lin = lin
+                    else:
+                        res = beta * lin.div[:, None, :] * val_u + jnp.einsum(
+                            "edq,ecdq->ecq", lin.val, grad_u
+                        )
+                        conv = conv + tw.tau1 * res
+                        new_lin = Linearized(lin.val, None, lin.div)
+                else:
+                    # Newton / Picard: linearize around the current iterate
+                    res = beta * div[:, None, :] * val_u + jnp.einsum(
+                        "edq,ecdq->ecq", val_u, grad_u
+                    )
+                    conv = conv + tw.tau1 * res
+                    if par.linearization == Linearization.coupled_implicit_newton:
+                        new_lin = Linearized(val_u, grad_u, div)
+                    else:
+                        new_lin = Linearized(val_u, None, div)
+            else:  # vmult / vmult_velocity
+                if par.linearization == Linearization.coupled_implicit_newton:
+                    res = (
+                        beta * div[:, None, :] * lin.val
+                        + beta
+                        * jnp.trace(lin.grad, axis1=1, axis2=2)[:, None, :]
+                        * val_u
+                        + jnp.einsum("edq,ecdq->ecq", lin.val, grad_u)
+                        + jnp.einsum("edq,ecdq->ecq", val_u, lin.grad)
+                    )
+                    conv = conv + tw.tau1 * res
+                elif par.linearization != Linearization.coupled_velocity_explicit:
+                    res = beta * lin.div[:, None, :] * val_u + jnp.einsum(
+                        "edq,ecdq->ecq", lin.val, grad_u
+                    )
+                    conv = conv + tw.tau1 * res
+            conv = conv * (rho if np.isscalar(rho) else rho[:, None, :])
+            damping = (
+                coeffs.damping if coeffs.damping is not None else par.damping
+            )
+            conv = conv - (
+                damping if np.isscalar(damping) else damping[:, None, :]
+            ) * val_u
+            submit_val = conv
+
+        # viscous + grad-div + pressure (all ops)
+        mu = coeffs.mu if coeffs.mu is not None else par.viscosity
+        tmu = (mu if np.isscalar(mu) else mu[:, None, None, :]) * tw.tau1
+        sym = grad_u + jnp.swapaxes(grad_u, 1, 2)
+        stress = tmu * sym
+        eye = jnp.eye(dim)[None, :, :, None]
+        stress = stress + par.tau_grad_div * div[:, None, None, :] * eye
+        if op != "vmult_velocity":
+            stress = stress - p_q[:, None, None, :] * eye
+        return submit_val, stress, div, new_lin
+
+    # ------------------------------------------------------------------
+    def residual_assemble(
+        self,
+        u,
+        p,
+        u_old,
+        u_old_old,
+        tw: TimeWeights,
+        coeffs: Coefficients = Coefficients(),
+        extrapolation: tuple = (1.0, 0.0),
+    ):
+        """Assemble the positive operator terms A(u) at the current state
+        (plain reads honoring inhomogeneous BCs) and freeze the linearization.
+        Returns (r_u, r_p, Linearized). The caller forms
+        rhs = user_rhs + const_rhs - A(u) (navier_stokes_matrix.cc:266-293)."""
+        par = self.parameters
+        uc = self._gather_u(u, resolve=False)
+        val_u = self.ev_u.values(uc)
+        grad_u = self.ev_u.gradients(uc)
+        pc = self._gather_p(p, resolve=False)
+        p_q = self.ev_p.values(pc)
+
+        old_val = old_old_val = None
+        lin = None
+        if par.physical_type == PhysicalType.incompressible:
+            oc = self._gather_u(u_old, resolve=False)
+            ooc = self._gather_u(u_old_old, resolve=False)
+            old_val = self.ev_u.values(oc)
+            old_old_val = self.ev_u.values(ooc)
+            if par.linearization in (
+                Linearization.projection,
+                Linearization.coupled_velocity_semi_implicit,
+                Linearization.coupled_velocity_explicit,
+            ):
+                # extrapolate old velocities to the new time
+                # (navier_stokes_matrix.cc:740-781)
+                f1, f2 = extrapolation
+                old_grad = self.ev_u.gradients(oc)
+                old_old_grad = self.ev_u.gradients(ooc)
+                ex_val = f1 * old_val + f2 * old_old_val
+                ex_grad = f1 * old_grad + f2 * old_old_grad
+                lin = Linearized(
+                    ex_val, ex_grad, jnp.trace(ex_grad, axis1=1, axis2=2)
+                )
+
+        submit_val, stress, div, new_lin = self._q_point_terms(
+            "residual", tw, val_u, grad_u, p_q, old_val, old_old_val, lin, coeffs
+        )
+
+        # stress is (E, comp, deriv, n_q): batch (E, comp), deriv axis at -2
+        # exactly as integrate_gradients expects
+        r_u = self.ev_u.integrate_gradients(stress)
+        if submit_val is not None:
+            r_u = r_u + self.ev_u.integrate_values(submit_val)
+        r_p = self.ev_p.integrate_values(-div)
+        ru = self._scatter_u(r_u)
+        rp = self._scatter_p(r_p)
+        return ru, rp, new_lin
+
+    def vmult(
+        self,
+        du,
+        dp,
+        tw: TimeWeights,
+        lin: Optional[Linearized],
+        coeffs: Coefficients = Coefficients(),
+    ):
+        """Coupled-system mat-vec (navier_stokes_matrix.cc:221-262)."""
+        uc = self._gather_u(du, resolve=True)
+        val_u = self.ev_u.values(uc)
+        grad_u = self.ev_u.gradients(uc)
+        pc = self._gather_p(dp, resolve=True)
+        p_q = self.ev_p.values(pc)
+        submit_val, stress, div, _ = self._q_point_terms(
+            "vmult", tw, val_u, grad_u, p_q, None, None, lin, coeffs
+        )
+        r_u = self.ev_u.integrate_gradients(stress)
+        if submit_val is not None:
+            r_u = r_u + self.ev_u.integrate_values(submit_val)
+        r_p = self.ev_p.integrate_values(-div)
+        ru = self._scatter_u(r_u)
+        rp = self._scatter_p(r_p)
+        # identity on constrained rows (pressure with sign -1, cc:247-256)
+        for c in range(self.dim):
+            ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))
+        cp = self.constraints_p.constrained_dofs
+        if len(cp):
+            rp = rp.at[cp].set(-dp[cp])
+        rp = self.apply_pressure_average_projection(rp)
+        return ru, rp
+
+    def velocity_vmult(
+        self,
+        du,
+        tw: TimeWeights,
+        lin: Optional[Linearized],
+        coeffs: Coefficients = Coefficients(),
+    ):
+        """(0,0)-block mat-vec (navier_stokes_matrix.cc:337-382)."""
+        uc = self._gather_u(du, resolve=True)
+        val_u = self.ev_u.values(uc)
+        grad_u = self.ev_u.gradients(uc)
+        submit_val, stress, _, _ = self._q_point_terms(
+            "vmult_velocity", tw, val_u, grad_u, None, None, None, lin, coeffs
+        )
+        r_u = self.ev_u.integrate_gradients(stress)
+        if submit_val is not None:
+            r_u = r_u + self.ev_u.integrate_values(submit_val)
+        ru = self._scatter_u(r_u)
+        for c in range(self.dim):
+            ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))
+        return ru
+
+    # ------------------------------------------------------------------
+    def divergence_vmult_add(
+        self, dst_p, u, weight_by_viscosity=False, coeffs: Coefficients = Coefficients(),
+        plain=False,
+    ):
+        """dst_p += -(q, w * div u) (navier_stokes_matrix.cc:920-961)."""
+        par = self.parameters
+        uc = self._gather_u(u, resolve=not plain)
+        grad_u = self.ev_u.gradients(uc)
+        div = jnp.trace(grad_u, axis1=1, axis2=2)
+        if weight_by_viscosity:
+            mu = coeffs.mu if coeffs.mu is not None else par.viscosity
+            w = -(mu if np.isscalar(mu) else mu)
+        else:
+            w = -1.0
+        r_p = self.ev_p.integrate_values(w * div)
+        return dst_p + self._scatter_p(r_p)
+
+    def pressure_poisson_vmult(self, p, inv_rho_weight, coeffs: Coefficients = Coefficients()):
+        """(grad q, 1/(rho*weight) grad p) (navier_stokes_matrix.cc:965-1032).
+
+        inv_rho_weight: traced scalar 1/(time_weight * rho_min), or 1.0 for
+        the stationary case; the variable-coefficient branch passes per-q
+        1/(weight*rho(q)) via coeffs.rho being set (then inv_rho_weight is the
+        1/weight factor)."""
+        ev = self.ev_p_low if coeffs.rho is None else self.ev_p
+        pc = self._gather_p(p, resolve=True)
+        grad_p = ev.gradients(pc)
+        if coeffs.rho is not None:
+            grad_p = grad_p * (inv_rho_weight / coeffs.rho)[:, None, :]
+        else:
+            grad_p = grad_p * inv_rho_weight
+        r = ev.integrate_gradients(grad_p)
+        rp = self._scatter_p(r)
+        cp = self.constraints_p.constrained_dofs
+        if len(cp):
+            rp = rp.at[cp].set(p[cp])
+        return rp
+
+    def pressure_mass_vmult(self, p, coefficient, coeffs: Coefficients = Coefficients()):
+        """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071)."""
+        ev = self.ev_p_low
+        pc = self._gather_p(p, resolve=True)
+        val = ev.values(pc) * coefficient
+        r = ev.integrate_values(val)
+        rp = self._scatter_p(r)
+        cp = self.constraints_p.constrained_dofs
+        if len(cp):
+            rp = rp.at[cp].set(p[cp])
+        return rp
+
+    def pressure_lumped_mass(self):
+        """Lumped pressure mass diagonal (for the diagonal preconditioner of
+        the mass solves, diagonal_preconditioner.cc)."""
+        ones = jnp.ones((self.u_space.mesh.n_cells, self.ev_p_low.n_q))
+        return self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
