@@ -174,6 +174,50 @@ class ScalarSpace:
         return self._lattice_to_flat(flat)
 
     # ------------------------------------------------------------------
+    def boundary_face_quadrature(self, boundary_id: int, n_q_1d: int):
+        """Surface-integral data for boundary faces with the id: a list of
+        (axis, end, face_dofs, qcoords, V_face, jxw_face) with
+          face_dofs (n_faces, n_fd), qcoords (n_faces, n_qf, dim),
+          V_face (n_qf, n_fd), jxw_face (n_qf,).
+        Orderings of face dofs and face quad points are both lexicographic in
+        the remaining axes with the lowest axis fastest (matching
+        boundary_faces)."""
+        from adaflo_tpu.fe.basis import gauss_quadrature
+
+        q1, w1 = gauss_quadrature(n_q_1d)
+        Vq, _ = self.basis.tabulate(q1)
+        mesh, deg = self.mesh, self.degree
+        out = []
+        for axis, end, face_dofs in self.boundary_faces(boundary_id):
+            rem_axes = [a for a in range(self.dim) if a != axis]
+            # tensor-product face basis / weights (lowest axis fastest)
+            V_face = np.ones((1, 1))
+            jxw = np.ones(1)
+            for a in reversed(rem_axes):
+                V_face = np.kron(V_face, Vq) if V_face.size > 1 else Vq.copy()
+                jxw = np.kron(jxw, w1 * mesh.h[a]) if jxw.size > 1 else w1 * mesh.h[a]
+            if len(rem_axes) == 2:
+                a_lo, a_hi = rem_axes
+                V_face = np.kron(Vq, Vq)  # (q_hi q_lo, i_hi i_lo)
+                jxw = np.kron(w1 * mesh.h[a_hi], w1 * mesh.h[a_lo])
+            # quad coordinates: derive the per-face cell indices from the
+            # first dof of each face (corner node)
+            corner = self.node_coords[face_dofs[:, 0]]  # (n_faces, dim)
+            n_qf = len(jxw)
+            qcoords = np.empty((len(face_dofs), n_qf, self.dim))
+            qcoords[..., axis] = corner[:, None, axis]
+            if len(rem_axes) == 1:
+                a = rem_axes[0]
+                qcoords[..., a] = corner[:, None, a] + mesh.h[a] * q1[None, :]
+            else:
+                a_lo, a_hi = rem_axes
+                Qlo = np.tile(q1, n_q_1d)
+                Qhi = np.repeat(q1, n_q_1d)
+                qcoords[..., a_lo] = corner[:, None, a_lo] + mesh.h[a_lo] * Qlo
+                qcoords[..., a_hi] = corner[:, None, a_hi] + mesh.h[a_hi] * Qhi
+            out.append((axis, end, face_dofs, qcoords, V_face, jxw))
+        return out
+
     def boundary_faces(self, boundary_id: int):
         """Face gather maps for surface integrals on boundary faces with the
         given id. Returns a list of (axis, end, face_dofs) with face_dofs of

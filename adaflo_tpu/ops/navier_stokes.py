@@ -358,6 +358,25 @@ class NavierStokesOperator:
         rp = self.apply_pressure_average_projection(rp)
         return ru, rp
 
+    def local_velocity_apply(
+        self,
+        uc,  # (E, dim, n_loc_u) cell-local velocity dofs
+        tw: TimeWeights,
+        lin: Optional[Linearized],
+        coeffs: Coefficients = Coefficients(),
+    ):
+        """Cell-local velocity-block application (no gather/scatter); also
+        used to extract the matrix diagonal for Jacobi/Chebyshev smoothing."""
+        val_u = self.ev_u.values(uc)
+        grad_u = self.ev_u.gradients(uc)
+        submit_val, stress, _, _ = self._q_point_terms(
+            "vmult_velocity", tw, val_u, grad_u, None, None, None, lin, coeffs
+        )
+        r_u = self.ev_u.integrate_gradients(stress)
+        if submit_val is not None:
+            r_u = r_u + self.ev_u.integrate_values(submit_val)
+        return r_u
+
     def velocity_vmult(
         self,
         du,
@@ -367,18 +386,48 @@ class NavierStokesOperator:
     ):
         """(0,0)-block mat-vec (navier_stokes_matrix.cc:337-382)."""
         uc = self._gather_u(du, resolve=True)
-        val_u = self.ev_u.values(uc)
-        grad_u = self.ev_u.gradients(uc)
-        submit_val, stress, _, _ = self._q_point_terms(
-            "vmult_velocity", tw, val_u, grad_u, None, None, None, lin, coeffs
-        )
-        r_u = self.ev_u.integrate_gradients(stress)
-        if submit_val is not None:
-            r_u = r_u + self.ev_u.integrate_values(submit_val)
+        r_u = self.local_velocity_apply(uc, tw, lin, coeffs)
         ru = self._scatter_u(r_u)
         for c in range(self.dim):
             ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))
         return ru
+
+    def velocity_block_diagonal(
+        self,
+        tw: TimeWeights,
+        lin: Optional[Linearized],
+        coeffs: Coefficients = Coefficients(),
+    ):
+        """Exact matrix diagonal of the velocity block, assembled matrix-free
+        by applying the cell-local kernel to unit local vectors (the standard
+        matrix-free diagonal trick; serves the role of the reference's
+        assembled preconditioner matrices for Jacobi/Chebyshev smoothing).
+        Returns (dim, n_dofs_u) with 1.0 on constrained rows."""
+        E = self.u_space.mesh.n_cells
+        dim, n_loc = self.dim, self.u_space.n_local
+        units = jnp.eye(dim * n_loc).reshape(dim * n_loc, dim, n_loc)
+
+        def apply_unit(unit):
+            uc = jnp.broadcast_to(unit[None], (E, dim, n_loc))
+            return self.local_velocity_apply(uc, tw, lin, coeffs)
+
+        out = jax.lax.map(apply_unit, units, batch_size=min(dim * n_loc, 16))
+        # out: (dim*n_loc, E, dim, n_loc); take the matching entry
+        out = out.reshape(dim, n_loc, E, dim, n_loc)
+        idx_c = jnp.arange(dim)[:, None]
+        idx_i = jnp.arange(n_loc)[None, :]
+        diag_loc = out[idx_c, idx_i, :, idx_c, idx_i]  # (dim, n_loc, E)
+        diag_loc = jnp.transpose(diag_loc, (2, 0, 1))  # (E, dim, n_loc)
+        n = self.u_space.n_dofs
+        flat_idx = self.cd_u.reshape(-1)
+        rows = []
+        for c in range(dim):
+            d = jnp.zeros(n).at[flat_idx].add(diag_loc[:, c, :].reshape(-1))
+            cd = self.constraints_u[c].constrained_dofs
+            if len(cd):
+                d = d.at[cd].set(1.0)
+            rows.append(d)
+        return jnp.stack(rows)
 
     # ------------------------------------------------------------------
     def divergence_vmult_add(
@@ -398,38 +447,102 @@ class NavierStokesOperator:
         r_p = self.ev_p.integrate_values(w * div)
         return dst_p + self._scatter_p(r_p)
 
-    def pressure_poisson_vmult(self, p, inv_rho_weight, coeffs: Coefficients = Coefficients()):
+    def pressure_poisson_vmult(
+        self,
+        p,
+        inv_rho_weight,
+        coeffs: Coefficients = Coefficients(),
+        constraints: Optional[Constraints] = None,
+    ):
         """(grad q, 1/(rho*weight) grad p) (navier_stokes_matrix.cc:965-1032).
 
         inv_rho_weight: traced scalar 1/(time_weight * rho_min), or 1.0 for
         the stationary case; the variable-coefficient branch passes per-q
-        1/(weight*rho(q)) via coeffs.rho being set (then inv_rho_weight is the
-        1/weight factor)."""
+        rho via coeffs (then inv_rho_weight is the 1/weight factor).
+        `constraints` selects the Schur-complement constraint set when used
+        inside the preconditioner (ns_prec.cc:386-415)."""
+        con = constraints if constraints is not None else self.constraints_p
         ev = self.ev_p_low if coeffs.rho is None else self.ev_p
-        pc = self._gather_p(p, resolve=True)
+        pc = self._gather_p_con(p, con)
         grad_p = ev.gradients(pc)
         if coeffs.rho is not None:
             grad_p = grad_p * (inv_rho_weight / coeffs.rho)[:, None, :]
         else:
             grad_p = grad_p * inv_rho_weight
         r = ev.integrate_gradients(grad_p)
-        rp = self._scatter_p(r)
-        cp = self.constraints_p.constrained_dofs
+        rp = self._scatter_p_con(r, con)
+        cp = con.constrained_dofs
         if len(cp):
             rp = rp.at[cp].set(p[cp])
         return rp
 
-    def pressure_mass_vmult(self, p, coefficient, coeffs: Coefficients = Coefficients()):
-        """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071)."""
-        ev = self.ev_p_low
-        pc = self._gather_p(p, resolve=True)
-        val = ev.values(pc) * coefficient
-        r = ev.integrate_values(val)
-        rp = self._scatter_p(r)
-        cp = self.constraints_p.constrained_dofs
+    def pressure_convdiff_vmult(
+        self, p, coeffs: Coefficients = Coefficients(),
+        constraints: Optional[Constraints] = None,
+    ):
+        """mu-weighted pressure Laplacian for the Kay-Loghin-Wathen
+        stationary Schur complement (navier_stokes_matrix.cc:1099-1140; the
+        convective part is disabled in the reference as well)."""
+        con = constraints if constraints is not None else self.constraints_p
+        ev = self.ev_p
+        pc = self._gather_p_con(p, con)
+        grad_p = ev.gradients(pc)
+        mu = coeffs.mu if coeffs.mu is not None else self.parameters.viscosity
+        grad_p = grad_p * (mu if np.isscalar(mu) else mu[:, None, :])
+        rp = self._scatter_p_con(ev.integrate_gradients(grad_p), con)
+        cp = con.constrained_dofs
         if len(cp):
             rp = rp.at[cp].set(p[cp])
         return rp
+
+    def pressure_mass_vmult(
+        self, p, coefficient, coeffs: Coefficients = Coefficients(),
+        constraints: Optional[Constraints] = None,
+    ):
+        """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071)."""
+        con = constraints if constraints is not None else self.constraints_p
+        ev = self.ev_p_low
+        pc = self._gather_p_con(p, con)
+        val = ev.values(pc) * coefficient
+        r = ev.integrate_values(val)
+        rp = self._scatter_p_con(r, con)
+        cp = con.constrained_dofs
+        if len(cp):
+            rp = rp.at[cp].set(p[cp])
+        return rp
+
+    def _gather_p_con(self, p, con: Constraints):
+        return con.resolve(p)[self.cd_p]
+
+    def _scatter_p_con(self, r_cells, con: Constraints):
+        n = self.p_space.n_dofs
+        r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
+            r_cells.reshape(-1)
+        )
+        return con.condense(r)
+
+    def pressure_poisson_diagonal(self, inv_rho_weight, constraints=None):
+        """Exact diagonal of the pressure Poisson operator (unit-vector
+        trick), for Jacobi/Chebyshev smoothing."""
+        con = constraints if constraints is not None else self.constraints_p
+        ev = self.ev_p_low
+        E = self.u_space.mesh.n_cells
+        n_loc = self.p_space.n_local
+        units = jnp.eye(n_loc)
+
+        def apply_unit(unit):
+            pc = jnp.broadcast_to(unit[None], (E, n_loc))
+            return ev.integrate_gradients(ev.gradients(pc) * inv_rho_weight)
+
+        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
+        idx = jnp.arange(n_loc)
+        diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))  # (E, n_loc)
+        d = jnp.zeros(self.p_space.n_dofs).at[self.cd_p.reshape(-1)].add(
+            diag_loc.reshape(-1)
+        )
+        if len(con.constrained_dofs):
+            d = d.at[con.constrained_dofs].set(1.0)
+        return d
 
     def pressure_lumped_mass(self):
         """Lumped pressure mass diagonal (for the diagonal preconditioner of

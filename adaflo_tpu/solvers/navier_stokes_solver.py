@@ -1,0 +1,624 @@
+"""Single-phase Navier-Stokes solver/driver.
+
+TPU-native counterpart of the reference's NavierStokes<dim>
+(/root/reference/source/navier_stokes.cc): owns the (u, p) Taylor-Hood
+spaces, boundary-condition machinery, the nonlinear Newton/Picard loop with
+extrapolated initial guesses and preconditioner-staleness heuristics
+(cc:833-1159), and the two-stage linear solve (cheap preconditioner first,
+then inner solves, cc:559-653).
+
+Host Python orchestrates time steps and the nonlinear loop and prints the
+residual tables; each residual evaluation and each complete linear solve is a
+single jitted XLA program with all Krylov loops inside (per-step scalars like
+BDF weights are traced arguments, so kernels compile once per run).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.flow_base import FlowBaseAlgorithm
+from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.ops.navier_stokes import (
+    Coefficients,
+    NavierStokesOperator,
+    TimeWeights,
+)
+from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
+from adaflo_tpu.solvers.krylov import fgmres
+from adaflo_tpu.solvers.preconditioner import NavierStokesPreconditioner, PrecState
+from adaflo_tpu.time_stepping import TimeStepping
+
+
+class ExcNavierStokesNoConvergence(Exception):
+    pass
+
+
+class NavierStokes(FlowBaseAlgorithm):
+    def __init__(
+        self,
+        parameters: FlowParameters,
+        mesh: StructuredMesh,
+        out=sys.stdout,
+    ) -> None:
+        super().__init__()
+        self.parameters = parameters
+        self.mesh = mesh
+        self.time_stepping = TimeStepping(parameters)
+        self.out = out
+        self.dim = mesh.dim
+        self.system_is_setup = False
+        # preconditioner bookkeeping (navier_stokes.h / cc:833-971)
+        self.update_preconditioner = True
+        self.update_preconditioner_frequency = 0
+        self.n_iterations_last_prec_update = 0
+        self.time_step_last_prec_update = 0
+        # user forcing (filled by two-phase solvers: surface tension etc.)
+        self.user_rhs_u = None
+        self.user_rhs_p = None
+        self.coefficients = Coefficients()
+        self.solver_timers = {"matvec": [0, 0.0], "solve": [0, 0.0]}
+
+    # -- printing --------------------------------------------------------
+    def _p(self, *args, **kw):
+        print(*args, **kw, file=self.out)
+
+    # ------------------------------------------------------------------
+    def setup_problem(self, initial_velocity_fn=None) -> None:
+        par = self.parameters
+        mesh = self.mesh
+        if par.global_refinements < 15:
+            mesh.refine_global(par.global_refinements)
+        for axis in self.boundary.periodic_axes:
+            mesh.set_periodic(axis)
+
+        self.u_space = ScalarSpace(mesh, par.velocity_degree)
+        self.p_space = ScalarSpace(mesh, par.pressure_degree)
+        self._build_constraints()
+
+        self.operator = NavierStokesOperator(
+            par,
+            self.u_space,
+            self.p_space,
+            self.constraints_u,
+            self.constraints_p,
+        )
+        if self.boundary.pressure_fix:
+            self.operator.enable_pressure_fix()
+        self.preconditioner = NavierStokesPreconditioner(
+            par, self.operator, self.constraints_schur
+        )
+
+        n_u, n_p = self.u_space.n_dofs, self.p_space.n_dofs
+        zeros_u = jnp.zeros((self.dim, n_u))
+        zeros_p = jnp.zeros(n_p)
+        self.solution = [zeros_u, zeros_p]
+        self.solution_old = [zeros_u, zeros_p]
+        self.solution_old_old = [zeros_u, zeros_p]
+        self.solution_update = [zeros_u, zeros_p]
+        self.const_rhs = [zeros_u, zeros_p]
+        self.user_rhs = [zeros_u, zeros_p]
+
+        if initial_velocity_fn is not None and not self.time_stepping.at_end():
+            vals = np.asarray(
+                initial_velocity_fn(self.u_space.node_coords, self.time_stepping.now())
+            )
+            self.solution[0] = jnp.asarray(vals)
+
+        self._build_jitted()
+        self.system_is_setup = True
+        self._prec_state: Optional[PrecState] = None
+        self._last_lin = None
+
+    # ------------------------------------------------------------------
+    def _build_constraints(self) -> None:
+        """Mirror of the reference's constraint setup
+        (navier_stokes.cc:228-360) for structured meshes: Dirichlet and
+        no-slip constrain all velocity components; symmetry
+        (no-normal-flux) constrains the normal component per side;
+        normal-flux-only boundaries constrain the tangential components.
+        Periodicity is handled by lattice wrap-around in the spaces."""
+        bd = self.boundary
+        u_space, p_space = self.u_space, self.p_space
+        cu = [Constraints(u_space.n_dofs) for _ in range(self.dim)]
+
+        dirichlet_ids = set(bd.dirichlet_conditions_u) | bd.no_slip
+        for bid in dirichlet_ids:
+            if bid in bd.open_conditions_p:
+                raise ValueError(
+                    "Cannot mix velocity Dirichlet with open boundary on "
+                    f"boundary id {bid}"
+                )
+            dofs = u_space.boundary_dofs(bid)
+            for c in range(self.dim):
+                cu[c].add_dirichlet(dofs)
+
+        # per-side normal components for symmetry / tangential for normal-flux
+        for axis in range(self.dim):
+            for end in (0, 1):
+                ids_here = set(np.unique(self.mesh.boundary_ids(axis, end)))
+                for bid in ids_here:
+                    faces = [
+                        fd
+                        for ax, en, fd in u_space.boundary_faces(bid)
+                        if (ax, en) == (axis, end)
+                    ]
+                    if not faces:
+                        continue
+                    dofs = np.unique(np.concatenate([f.ravel() for f in faces]))
+                    if bid in bd.symmetry:
+                        cu[axis].add_dirichlet(dofs)
+                    if bid in bd.normal_flux:
+                        for c in range(self.dim):
+                            if c != axis:
+                                cu[c].add_dirichlet(dofs)
+        for c in cu:
+            c.close()
+        self.constraints_u = cu
+
+        cp = Constraints(p_space.n_dofs)
+        cp.close()
+        self.constraints_p = cp
+
+        # Schur-complement-only constraints: Dirichlet on open boundaries +
+        # the pressure-fix dof (ns_prec.cc:1087-1186)
+        cs = Constraints(p_space.n_dofs)
+        for bid in bd.open_conditions_p:
+            cs.add_dirichlet(p_space.boundary_dofs(bid))
+        for bid in bd.pressure_fix:
+            dofs = p_space.boundary_dofs(bid)
+            if len(dofs):
+                cs.add_dirichlet(dofs[:1])
+        cs.close()
+        self.constraints_schur = cs
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self) -> None:
+        op = self.operator
+        par = self.parameters
+        extrap = par.linearization in (
+            Linearization.projection,
+            Linearization.coupled_velocity_semi_implicit,
+            Linearization.coupled_velocity_explicit,
+        )
+
+        @jax.jit
+        def residual_fn(u, p, u_old, u_old_old, tw, const_u, const_p,
+                        user_u, user_p, coeffs, ex):
+            au, ap, lin = op.residual_assemble(
+                u, p, u_old, u_old_old, tw, coeffs, ex
+            )
+            ru = const_u + user_u - au
+            rp = const_p + user_p - ap
+            rp = op.apply_pressure_average_projection(rp)
+            res_u = jnp.sqrt(jnp.sum(ru * ru))
+            res_p = jnp.sqrt(jnp.sum(rp * rp))
+            return ru, rp, lin, res_u, res_p
+
+        self._residual_fn = residual_fn
+
+        prec = self.preconditioner
+
+        def solve_fn(rhs_u, rhs_p, tw, state, tol, do_inner, max_iter):
+            A = lambda x: op.vmult(x[0], x[1], tw, state.lin, state.coeffs)
+            M = lambda r: prec.apply(state, r, tw, do_inner)
+            x0 = (jnp.zeros_like(rhs_u), jnp.zeros_like(rhs_p))
+            res = fgmres(A, (rhs_u, rhs_p), x0, tol, max_iter, restart=50, M=M)
+            du, dp = res.x
+            for c in range(self.dim):
+                du = du.at[c].set(self.constraints_u[c].distribute(du[c]))
+            dp = self.constraints_p.distribute(dp)
+            return du, dp, res.iterations, res.residual, res.converged
+
+        self._solve_fn = jax.jit(
+            solve_fn, static_argnames=("do_inner", "max_iter")
+        )
+
+        @jax.jit
+        def compute_prec_fn(tw, lin, coeffs):
+            return prec.compute(tw, lin, coeffs)
+
+        self._compute_prec_fn = compute_prec_fn
+
+        @jax.jit
+        def extrapolate_fn(cur, old, old_old, f1, f2):
+            tmp = [f1 * c + f2 * o for c, o in zip(cur, old)]
+            # rotate: old_old <- old, old <- cur, cur <- extrapolated
+            return tmp, cur, old
+
+        self._extrapolate_fn = extrapolate_fn
+
+    # ------------------------------------------------------------------
+    @property
+    def n_dofs(self):
+        return (self.dim * self.u_space.n_dofs, self.p_space.n_dofs)
+
+    def print_n_dofs(self) -> None:
+        nu, npp = self.n_dofs
+        min_cell_diameter = self.mesh.cell_diameter
+        self._p(f" Number of active cells: {self.mesh.n_cells}.")
+        self._p(
+            f" Number of degrees of freedom (velocity/pressure): "
+            f"{nu + npp} ({nu} + {npp})."
+        )
+        self._p(
+            f" Approximate size last cell: "
+            f"{fmt_g(min_cell_diameter / np.sqrt(self.dim))}"
+        )
+
+    # ------------------------------------------------------------------
+    def apply_boundary_conditions(self) -> None:
+        """Write Dirichlet values into the solution at the current time and
+        assemble the open-boundary rhs (navier_stokes.cc:1214-1318)."""
+        bd = self.boundary
+        time = self.time_stepping.now()
+        u_space = self.u_space
+        u = np.asarray(self.solution[0]).copy()
+
+        for bid, fn in bd.dirichlet_conditions_u.items():
+            dofs = u_space.boundary_dofs(bid)
+            if len(dofs) == 0:
+                continue
+            vals = np.asarray(fn(u_space.node_coords[dofs], time))
+            u[:, dofs] = vals
+        for bid in bd.no_slip:
+            dofs = u_space.boundary_dofs(bid)
+            u[:, dofs] = 0.0
+        self.solution[0] = jnp.asarray(u)
+
+        # symmetry/normal-flux dofs that are not covered by a Dirichlet
+        # function must read zero in the constrained component
+        u_dev = self.solution[0]
+        dirichlet_ids = set(bd.dirichlet_conditions_u) | bd.no_slip
+        covered = (
+            np.unique(
+                np.concatenate(
+                    [u_space.boundary_dofs(b) for b in dirichlet_ids]
+                )
+            )
+            if dirichlet_ids
+            else np.empty(0, dtype=np.int64)
+        )
+        for c in range(self.dim):
+            dd = self.constraints_u[c].dirichlet_dofs
+            extra = np.setdiff1d(dd, covered, assume_unique=False)
+            if len(extra):
+                u_dev = u_dev.at[c, extra].set(0.0)
+        self.solution[0] = u_dev
+
+        # open-boundary face integrals -> const_rhs (cc:1260-1317): natural
+        # traction BC sigma.n = -pbar n gives rhs -(pbar, v.n)_dOmega
+        const_u = np.zeros((self.dim, u_space.n_dofs))
+        for bid, fn in bd.open_conditions_p.items():
+            for axis, end, face_dofs, qcoords, V_face, jxw in (
+                u_space.boundary_face_quadrature(bid, self.parameters.velocity_degree + 1)
+            ):
+                sign = -1.0 if end == 1 else 1.0
+                pbar = np.asarray(
+                    fn(qcoords.reshape(-1, self.dim), time)
+                ).reshape(len(face_dofs), -1)
+                # I[f, i] = sum_q pbar Vq_i jxw
+                contrib = sign * np.einsum("fq,qi,q->fi", pbar, V_face, jxw)
+                np.add.at(const_u[axis], face_dofs.reshape(-1), contrib.reshape(-1))
+        # drop contributions on constrained rows (distribute_local_to_global)
+        for c in range(self.dim):
+            const_u[c, self.constraints_u[c].constrained_dofs] = 0.0
+        self.const_rhs = [jnp.asarray(const_u), jnp.zeros(self.p_space.n_dofs)]
+
+    # ------------------------------------------------------------------
+    def init_time_advance(self, print_time_info: bool = True) -> None:
+        assert self.system_is_setup, "System has not yet been set up!"
+        ts = self.time_stepping
+        ts.next()
+
+        f1, f2 = ts.extrapolation_factors
+        n_blocks = 1 if self.parameters.linearization == Linearization.projection else 2
+        cur = self.solution[:n_blocks]
+        old = self.solution_old[:n_blocks]
+        old_old = self.solution_old_old[:n_blocks]
+        new_cur, new_old, new_old_old = self._extrapolate_fn(
+            cur, old, old_old, jnp.float64(f1), jnp.float64(f2)
+        )
+        for b in range(n_blocks):
+            self.solution[b] = new_cur[b]
+            self.solution_old[b] = new_old[b]
+            self.solution_old_old[b] = new_old_old[b]
+
+        if self.parameters.linearization == Linearization.projection:
+            self._projection_pressure_extrapolation()
+
+        if print_time_info and self.parameters.output_verbosity > 0:
+            self._p(
+                f"\nTime step #{ts.step_no()}, advancing from t_n-1 = "
+                f"{fmt_g(ts.previous())} to t = {fmt_g(ts.now())} "
+                f"(dt = {fmt_g(ts.step_size())}). "
+            )
+        self.apply_boundary_conditions()
+
+    def _projection_pressure_extrapolation(self) -> None:
+        """p* = p + 4/3 phi^n - 1/3 phi^{n-1} bookkeeping
+        (navier_stokes.cc:688-719); solution_update[1] temporarily holds
+        p^n."""
+        ts = self.time_stepping
+        if ts.step_no() > 1:
+            w, wo, woo = ts.weight(), ts.weight_old(), ts.weight_old_old()
+            cur = self.solution[1]
+            old = self.solution_old[1]
+            old_old = self.solution_old_old[1]
+            tmp = cur - (wo / w) * old - (woo / w) * old_old
+            self.solution_old_old[1] = old
+            self.solution_update[1] = cur
+            self.solution[1] = tmp
+            self.solution_old[1] = cur
+        elif ts.step_no() == 1:
+            z = jnp.zeros_like(self.solution[1])
+            self.solution_old[1] = z
+            self.solution_old_old[1] = z
+            self.solution_update[1] = self.solution[1]
+
+    # ------------------------------------------------------------------
+    def advance_time_step(self):
+        self.init_time_advance()
+        return self.evaluate_time_step()
+
+    def evaluate_time_step(self):
+        initial_residual = self.compute_initial_residual()
+        try:
+            return self.solve_nonlinear_system(initial_residual)
+        except ExcNavierStokesNoConvergence:
+            self._p("Warning: nonlinear iteration did not converge!")
+            return (0, 0)
+
+    # ------------------------------------------------------------------
+    def compute_residual(self) -> float:
+        par = self.parameters
+        ex = self.time_stepping.extrapolation_factors
+        tw = TimeWeights.from_time_stepping(self.time_stepping)
+        ru, rp, lin, res_u, res_p = self._residual_fn(
+            self.solution[0],
+            self.solution[1],
+            self.solution_old[0],
+            self.solution_old_old[0],
+            tw,
+            self.const_rhs[0],
+            self.const_rhs[1],
+            self.user_rhs[0],
+            self.user_rhs[1],
+            self.coefficients,
+            (jnp.float64(ex[0]), jnp.float64(ex[1])),
+        )
+        self.system_rhs = [ru, rp]
+        self._last_lin = lin
+        res_u, res_p = float(res_u), float(res_p)
+        res = float(np.sqrt(res_u**2 + res_p**2))
+        v = par.output_verbosity
+        if v == 1:
+            self._p(f"[{res:g}", end="")
+        elif v == 2:
+            self._p(f"   {res:<12.3e} ", end="")
+        elif v == 3:
+            self._p(f"   {res_u:<11.3e} {res_p:<12.3e} ", end="")
+        return res
+
+    def compute_initial_residual(self) -> float:
+        v = self.parameters.output_verbosity
+        if v == 1:
+            self._p("  Residual/iterations: ", end="")
+        elif v == 2:
+            self._p(
+                "\n   Nonlin Res     Prec Upd     Increment   Lin Iter     Lin Res"
+                "\n   ____________________________________________________________"
+            )
+        elif v == 3:
+            self._p(
+                "\n   NL Resid u  NL Resid p     Prec Upd     Increm u   Increm p"
+                "   Lin Iter     Lin Res"
+                "\n   _______________________________________________________________"
+                "___________________"
+            )
+        return self.compute_residual()
+
+    # ------------------------------------------------------------------
+    def build_preconditioner(self) -> None:
+        tw = TimeWeights.from_time_stepping(self.time_stepping)
+        self._prec_state = self._compute_prec_fn(
+            tw, self._last_lin, self.coefficients
+        )
+        v = self.parameters.output_verbosity
+        if v == 1:
+            self._p("/", end="")
+        elif v >= 2:
+            self._p("    Cheb    ", end="")
+
+    def solve_system(self, linear_tolerance: float):
+        """Two-stage linear solve (navier_stokes.cc:559-653): cheap
+        preconditioner first, then inner solves under FGMRES."""
+        par = self.parameters
+        tw = TimeWeights.from_time_stepping(self.time_stepping)
+        rhs_u, rhs_p = self.system_rhs
+        tol = jnp.float64(linear_tolerance)
+        cheap_iters = min(par.iterations_before_inner_solvers, par.max_lin_iteration)
+        du, dp, it1, res1, conv = self._solve_fn(
+            rhs_u, rhs_p, tw, self._prec_state, tol, False, cheap_iters
+        )
+        iters = int(it1)
+        residual = float(res1)
+        if not bool(conv) and par.iterations_before_inner_solvers < par.max_lin_iteration:
+            du, dp, it2, res2, conv = self._solve_fn(
+                rhs_u, rhs_p, tw, self._prec_state, tol, True,
+                max(par.max_lin_iteration - par.iterations_before_inner_solvers, 0),
+            )
+            iters += int(it2)
+            residual = float(res2)
+        self.solution_update[0] = du
+        self.solution_update[1] = dp
+        return iters, residual
+
+    # ------------------------------------------------------------------
+    def solve_nonlinear_system(self, initial_residual: float):
+        par = self.parameters
+        ts = self.time_stepping
+        step = 0
+        n_tot_iterations = 0
+        premature_update = False
+        res = initial_residual
+
+        if par.linearization == Linearization.projection:
+            # restore the actual p^n (navier_stokes.cc:840-842)
+            self.solution[1], self.solution_update[1] = (
+                self.solution_update[1],
+                self.solution[1],
+            )
+
+        coupled = par.linearization in (
+            Linearization.coupled_implicit_newton,
+            Linearization.coupled_implicit_picard,
+        )
+
+        while step < par.max_nl_iteration:
+            # linear tolerance policy (cc:851-868)
+            linear_tolerance = par.tol_lin_iteration
+            if par.rel_lin_iteration:
+                if (
+                    res * par.tol_lin_iteration < 0.5 * par.tol_nl_iteration
+                    or not coupled
+                ):
+                    linear_tolerance = 0.5 * par.tol_nl_iteration
+                else:
+                    linear_tolerance = min(
+                        par.tol_lin_iteration * res, par.tol_lin_iteration
+                    )
+
+            if step == 0 and self.update_preconditioner:
+                self.build_preconditioner()
+            elif (
+                not premature_update
+                and ts.step_no() > 1
+                and n_tot_iterations > 1.5 * self.n_iterations_last_prec_update
+            ) or (
+                par.physical_type == PhysicalType.incompressible_stationary
+                and step % 6 == 1
+            ):
+                self.build_preconditioner()
+                premature_update = True
+            elif par.output_verbosity >= 2:
+                self._p("    ---    ", end="")
+
+            iters, lin_res = self.solve_system(linear_tolerance)
+            self.solution[0] = self.solution[0] + self.solution_update[0]
+            self.solution[1] = self.solution[1] + self.solution_update[1]
+            n_tot_iterations += iters
+
+            v = par.output_verbosity
+            if v == 1:
+                self._p(f"/{iters}] ", end="")
+            elif v == 2:
+                norm = float(
+                    jnp.sqrt(
+                        jnp.sum(self.solution_update[0] ** 2)
+                        + jnp.sum(self.solution_update[1] ** 2)
+                    )
+                )
+                self._p(f"    {norm:<5.2e}     {iters:4d}       {lin_res:<5.2e}")
+            elif v == 3:
+                iu = float(jnp.sqrt(jnp.sum(self.solution_update[0] ** 2)))
+                ip = float(jnp.sqrt(jnp.sum(self.solution_update[1] ** 2)))
+                self._p(
+                    f"    {iu:<5.2e}   {ip:<5.2e}    {iters:4d}       {lin_res:<5.2e}"
+                )
+
+            step += 1
+            if not coupled:
+                if v == 1:
+                    self._p(f"[{lin_res:g}/conv.]")
+                elif v >= 2:
+                    self._p("")
+                break
+
+            res = self.compute_residual()
+            if res < par.tol_nl_iteration:
+                if v == 1:
+                    self._p("/conv.]")
+                elif v >= 2:
+                    self._p(" converged.\n")
+                break
+
+        # preconditioner refresh bookkeeping (cc:941-971)
+        if (
+            self.update_preconditioner_frequency > 0
+            and ts.step_no() % (50 * self.update_preconditioner_frequency) == 0
+        ):
+            self.update_preconditioner_frequency = 0
+        if self.update_preconditioner:
+            self.n_iterations_last_prec_update = n_tot_iterations
+            self.time_step_last_prec_update = ts.step_no()
+            self.update_preconditioner = False
+        if n_tot_iterations > 1.2 * self.n_iterations_last_prec_update:
+            if (
+                premature_update
+                or n_tot_iterations > 2 * self.n_iterations_last_prec_update
+            ):
+                self.update_preconditioner_frequency = (
+                    ts.step_no() - self.time_step_last_prec_update
+                )
+            self.update_preconditioner = True
+        if (
+            self.time_step_last_prec_update < 3 and ts.step_no() > 14
+        ) or ts.step_no() < 2:
+            self.update_preconditioner = True
+        if (
+            not self.update_preconditioner
+            and not premature_update
+            and self.update_preconditioner_frequency > 0
+            and ts.step_no() + 1 - self.time_step_last_prec_update
+            >= self.update_preconditioner_frequency
+        ):
+            self.update_preconditioner = True
+
+        if step == par.max_nl_iteration and par.output_verbosity == 1:
+            self._p("]")
+
+        self._apply_pressure_fix_shift()
+        return (step, n_tot_iterations)
+
+    # ------------------------------------------------------------------
+    def _apply_pressure_fix_shift(self) -> None:
+        """Shift the pressure so the first dof on the pressure-fix boundary
+        matches the prescribed value (navier_stokes.cc:984-1044; nodal basis
+        makes the FE value at a node equal the dof value)."""
+        bd = self.boundary
+        if not bd.pressure_fix:
+            return
+        for bid, fn in bd.pressure_fix.items():
+            dofs = self.p_space.boundary_dofs(bid)
+            if len(dofs) == 0:
+                continue
+            dof = int(dofs[0])
+            x = self.p_space.node_coords[dof : dof + 1]
+            target = (
+                float(np.asarray(fn(x, self.time_stepping.now()))[0])
+                if fn is not None
+                else 0.0
+            )
+            shift = target - float(self.solution[1][dof])
+            self.solution[1] = self.operator.apply_pressure_shift(
+                jnp.float64(shift), self.solution[1]
+            )
+            return
+
+
+def fmt_g(x: float) -> str:
+    """C++ ostream precision(3) general formatting."""
+    s = f"{x:.3g}"
+    if "e" in s:
+        mant, ex = s.split("e")
+        return f"{mant}e{int(ex):+03d}"
+    return s

@@ -1,0 +1,287 @@
+"""Preconditioner building blocks and the block-triangular NS preconditioner.
+
+TPU-native replacement for the reference's NavierStokesPreconditioner
+(/root/reference/source/navier_stokes_preconditioner.cc:593-737): identical
+block structure —
+
+  1. approximate velocity-block inverse,
+  2. apply the divergence block,
+  3. Schur complement: Cahouet-Chabbard (scaled pressure-mass solve plus a
+     pressure-Poisson approximation) for the time-dependent case, or
+     Kay-Loghin-Wathen pressure convection-diffusion for the stationary case
+
+— but the ILU / ML-AMG components (which have no efficient TPU analog: both
+are sequential triangular/graph algorithms) are replaced by matrix-free
+Chebyshev iteration with Jacobi scaling, whose building blocks (diagonal
+extraction, mat-vecs) run as batched device kernels.  All state lives in a
+NamedTuple of arrays so the whole preconditioner application jits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from adaflo_tpu.ops.navier_stokes import Coefficients, NavierStokesOperator, TimeWeights
+from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
+from adaflo_tpu.solvers.krylov import cg
+
+
+class DiagonalPreconditioner:
+    """Inverse-diagonal application with the reference's thresholding
+    (diagonal_preconditioner.cc:38-124): entries below 1e-10 * ||d||_inf are
+    treated as 1."""
+
+    def __init__(self, diagonal) -> None:
+        self.diagonal = diagonal
+        leaves = jax.tree_util.tree_leaves(diagonal)
+        mx = jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]))
+        self.inverse = jax.tree_util.tree_map(
+            lambda d: jnp.where(jnp.abs(d) > 1e-10 * mx, 1.0 / d, 1.0), diagonal
+        )
+
+    def vmult(self, r):
+        return jax.tree_util.tree_map(lambda i, x: i * x, self.inverse, r)
+
+    __call__ = vmult
+
+
+def estimate_lambda_max(A: Callable, Dinv, shape_like, n_iter: int = 12):
+    """Power iteration estimate of lambda_max(D^-1 A) (replaces deal.II
+    PreconditionChebyshev's Lanczos estimate). Deterministic start vector."""
+
+    def norm(v):
+        return jnp.sqrt(
+            sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(v))
+        )
+
+    v = jax.tree_util.tree_map(
+        lambda x: jnp.cos(
+            jnp.arange(x.size, dtype=x.dtype).reshape(x.shape) * 0.7 + 0.3
+        ),
+        shape_like,
+    )
+    v = jax.tree_util.tree_map(lambda x: x / norm(v), v)
+
+    def body(i, carry):
+        v, lam = carry
+        w = jax.tree_util.tree_map(lambda i_, x: i_ * x, Dinv, A(v))
+        lam = norm(w)
+        v = jax.tree_util.tree_map(lambda x: x / jnp.maximum(lam, 1e-30), w)
+        return (v, lam)
+
+    _, lam = lax.fori_loop(0, n_iter, body, (v, jnp.float64(1.0)))
+    return lam
+
+
+class ChebyshevPreconditioner:
+    """Chebyshev-polynomial approximate inverse of an SPD(-dominated)
+    operator preconditioned by its inverse diagonal. The TPU-native stand-in
+    for one ILU application / one AMG V-cycle: only mat-vecs and elementwise
+    ops, no sequential dependencies."""
+
+    def __init__(
+        self,
+        A: Callable,
+        diagonal,
+        lambda_max,
+        degree: int = 4,
+        smoothing_range: float = 30.0,
+    ) -> None:
+        self.A = A
+        self.Dinv = DiagonalPreconditioner(diagonal).inverse
+        self.degree = degree
+        self.lmax = 1.2 * lambda_max
+        self.lmin = lambda_max / smoothing_range
+
+    def vmult(self, b):
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        sigma1 = theta / delta
+        tm = jax.tree_util.tree_map
+
+        z = tm(lambda i, x: i * x, self.Dinv, b)
+        d = tm(lambda x: x / theta, z)
+        x = d
+        rho_old = 1.0 / sigma1
+
+        def body(k, carry):
+            x, d, rho_old = carry
+            r = tm(lambda bb, ax: bb - ax, b, self.A(x))
+            z = tm(lambda i, rr: i * rr, self.Dinv, r)
+            rho = 1.0 / (2.0 * sigma1 - rho_old)
+            d = tm(lambda dd, zz: rho * rho_old * dd + 2.0 * rho / delta * zz, d, z)
+            x = tm(lambda xx, dd: xx + dd, x, d)
+            return (x, d, rho)
+
+        x, _, _ = lax.fori_loop(1, self.degree, body, (x, d, rho_old))
+        return x
+
+    __call__ = vmult
+
+
+# ---------------------------------------------------------------------------
+class PrecState(NamedTuple):
+    """Arrays rebuilt on preconditioner refresh (the analog of the
+    reference's assemble_matrices + compute, ns_prec.cc:899-974)."""
+
+    u_diag: jnp.ndarray  # (dim, n_u) velocity-block diagonal
+    u_lambda_max: jnp.ndarray
+    poisson_diag: jnp.ndarray  # (n_p,)
+    poisson_lambda_max: jnp.ndarray
+    mass_diag: jnp.ndarray  # (n_p,) lumped pressure mass
+    inv_rho_weight: jnp.ndarray  # 1/(time weight * rho_min) or 1 (stationary)
+    mass_coefficient: jnp.ndarray  # 1/(mu + tau_gd) or 1
+    lin: object  # frozen Linearized state
+    coeffs: Coefficients
+
+
+class NavierStokesPreconditioner:
+    """Block-triangular preconditioner; `vmult` mirrors ns_prec.cc:593-737."""
+
+    def __init__(
+        self,
+        parameters: FlowParameters,
+        op: NavierStokesOperator,
+        constraints_schur,
+        u_chebyshev_degree: int = 5,
+        p_chebyshev_degree: int = 5,
+    ) -> None:
+        self.parameters = parameters
+        self.op = op
+        self.constraints_schur = constraints_schur
+        self.u_cheb_deg = u_chebyshev_degree
+        self.p_cheb_deg = p_chebyshev_degree
+
+    # -- build ----------------------------------------------------------
+    def compute(self, tw: TimeWeights, lin, coeffs: Coefficients) -> PrecState:
+        """Freeze the linearization point and rebuild diagonals + eigenvalue
+        estimates (the analog of fix_linearization_point + assemble +
+        ILU/AMG setup). Pure: returns the state pytree."""
+        par = self.parameters
+        op = self.op
+        u_diag = op.velocity_block_diagonal(tw, lin, coeffs)
+        uA = lambda v: op.velocity_vmult(v, tw, lin, coeffs)
+        u_dinv = DiagonalPreconditioner(u_diag).inverse
+        u_lmax = estimate_lambda_max(uA, u_dinv, u_diag)
+
+        if par.physical_type == PhysicalType.incompressible_stationary:
+            inv_rho_weight = jnp.float64(1.0)
+            mass_coefficient = jnp.float64(1.0)
+        else:
+            rho_min = min(par.density, par.density + par.density_diff)
+            if rho_min > 0:
+                inv_rho_weight = 1.0 / (tw.weight * rho_min)
+            else:
+                inv_rho_weight = jnp.float64(0.0)
+            if par.linearization == Linearization.projection:
+                mass_coefficient = jnp.float64(1.0)
+            else:
+                mass_coefficient = jnp.float64(
+                    1.0 / (par.viscosity + par.tau_grad_div)
+                )
+
+        pdiag_scale = jnp.where(inv_rho_weight > 0, inv_rho_weight, 1.0)
+        poisson_diag = op.pressure_poisson_diagonal(
+            pdiag_scale, self.constraints_schur
+        )
+        pA = lambda p: op.pressure_poisson_vmult(
+            p, pdiag_scale, coeffs, self.constraints_schur
+        )
+        p_dinv = DiagonalPreconditioner(poisson_diag).inverse
+        p_lmax = estimate_lambda_max(pA, p_dinv, poisson_diag)
+        mass_diag = op.pressure_lumped_mass()
+
+        return PrecState(
+            u_diag,
+            u_lmax,
+            poisson_diag,
+            p_lmax,
+            mass_diag,
+            jnp.float64(inv_rho_weight),
+            mass_coefficient,
+            lin,
+            coeffs,
+        )
+
+    # -- pieces ---------------------------------------------------------
+    def _u_approx_inverse(self, st: PrecState, ru, tw, do_inner: bool):
+        uA = lambda v: self.op.velocity_vmult(v, tw, st.lin, st.coeffs)
+        cheb = ChebyshevPreconditioner(
+            uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
+        )
+        if not do_inner:
+            return cheb(ru)
+        # inner solve to 3e-2 relative (ns_prec.cc:636-665; BiCGStab there,
+        # CG-equivalent robustness via FGMRES outer here)
+        tol = 3e-2 * jnp.sqrt(jnp.vdot(ru, ru).real)
+        return cg(uA, ru, jnp.zeros_like(ru), tol, 100, M=cheb).x
+
+    def _poisson_approx_inverse(self, st: PrecState, rp, strong: bool):
+        pA = lambda p: self.op.pressure_poisson_vmult(
+            p,
+            jnp.where(st.inv_rho_weight > 0, st.inv_rho_weight, 1.0),
+            st.coeffs,
+            self.constraints_schur,
+        )
+        cheb = ChebyshevPreconditioner(
+            pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+        )
+        if not strong:
+            return cheb(rp)
+        tol = 3e-2 * jnp.sqrt(jnp.vdot(rp, rp).real)
+        return cg(pA, rp, jnp.zeros_like(rp), tol, 30, M=cheb).x
+
+    def solve_pressure_mass(self, st: PrecState, rp):
+        """CG on the scaled pressure mass, rel 1e-2, lumped-mass diagonal
+        preconditioner (ns_prec.cc:741-773)."""
+        mA = lambda p: self.op.pressure_mass_vmult(p, st.mass_coefficient)
+        dinv = DiagonalPreconditioner(st.mass_diag / st.mass_coefficient).inverse
+        return cg(
+            mA,
+            rp,
+            jnp.zeros_like(rp),
+            jnp.float64(1e-50),
+            100,
+            M=lambda r: dinv * r,
+            reduction=1e-2,
+        ).x
+
+    # -- application ----------------------------------------------------
+    def apply(self, st: PrecState, rhs, tw: TimeWeights, do_inner: bool):
+        """Apply the block-triangular preconditioner to (ru, rp). Pure in
+        (st, rhs, tw); do_inner is a static Python bool."""
+        par = self.parameters
+        ru, rp = rhs
+
+        du = self._u_approx_inverse(st, ru, tw, do_inner)
+        # temp = -rp + B du (ns_prec.cc:670-673)
+        temp = self.op.divergence_vmult_add(-rp, du, coeffs=st.coeffs)
+
+        if par.physical_type == PhysicalType.incompressible_stationary:
+            # Kay-Loghin-Wathen (ns_prec.cc:678-708)
+            pA = lambda p: self.op.pressure_poisson_vmult(
+                p, jnp.float64(1.0), st.coeffs, self.constraints_schur
+            )
+            cheb = ChebyshevPreconditioner(
+                pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+            )
+            tol = 1e-2 * jnp.sqrt(jnp.vdot(temp, temp).real)
+            dp = cg(pA, temp, jnp.zeros_like(temp), tol, 30, M=cheb).x
+            cs = self.constraints_schur.constrained_dofs
+            if len(cs):
+                dp = dp.at[cs].set(0.0)
+            t2 = self.op.pressure_convdiff_vmult(dp, st.coeffs, self.constraints_schur)
+            if len(cs):
+                t2 = t2.at[cs].set(temp[cs])
+            dp = self.solve_pressure_mass(st, t2)
+            return (du, dp)
+
+        # Cahouet-Chabbard (ns_prec.cc:710-737)
+        dp = self.solve_pressure_mass(st, temp)
+        if par.density > 0:
+            dp = dp + self._poisson_approx_inverse(st, temp, do_inner)
+        return (du, dp)

@@ -1,0 +1,70 @@
+"""Error norms and interpolation utilities.
+
+Counterpart of VectorTools::integrate_difference / interpolate as used by the
+reference drivers (e.g. /root/reference/tests/poiseuille.cc:154-195): cellwise
+L2 errors against an analytic solution with a high-order quadrature, combined
+as the l2 norm of the cell values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.ops.tensor import CellEvaluator
+
+
+def interpolate(space: ScalarSpace, fn, time: float = 0.0) -> np.ndarray:
+    """Nodal interpolation; returns (n,) for scalar fn, (C, n) for vector."""
+    return np.asarray(fn(space.node_coords, time))
+
+
+def l2_error(
+    space: ScalarSpace,
+    vec,
+    exact_fn,
+    time: float = 0.0,
+    n_q_1d: int | None = None,
+    n_components: int = 1,
+) -> float:
+    """sqrt(int (u_h - u)^2 dx) with an n_q_1d Gauss rule (defaults to
+    degree+2 like the reference drivers)."""
+    import jax.numpy as jnp
+
+    mesh = space.mesh
+    if n_q_1d is None:
+        n_q_1d = space.degree + 2
+    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
+    qp = ev.quad_coords(mesh)  # (E, n_q, dim)
+    exact = np.asarray(exact_fn(qp.reshape(-1, space.dim), time))
+    vec = np.asarray(vec)
+    if n_components == 1:
+        cells = jnp.asarray(vec[space.cell_dofs])
+        vals = np.asarray(ev.values(cells)).reshape(-1)
+        diff2 = (vals - exact) ** 2
+    else:
+        cells = jnp.asarray(
+            np.transpose(vec[:, space.cell_dofs], (1, 0, 2))
+        )  # (E, C, nloc)
+        vals = np.asarray(ev.values(cells))  # (E, C, n_q)
+        exact = exact.reshape(n_components, mesh.n_cells, ev.n_q)
+        diff2 = ((np.transpose(vals, (1, 0, 2)) - exact) ** 2).sum(axis=0).reshape(-1)
+    jxw = np.tile(np.asarray(ev.jxw), mesh.n_cells)
+    return float(np.sqrt(np.sum(diff2 * jxw)))
+
+
+def max_value(space: ScalarSpace, vec, n_components: int = 1) -> float:
+    """Maximum magnitude over quadrature points (get_maximal_velocity
+    equivalent, two_phase_base.cc:479-545)."""
+    import jax.numpy as jnp
+
+    mesh = space.mesh
+    ev = CellEvaluator(space.dim, space.basis, space.degree + 1, mesh.h)
+    vec = np.asarray(vec)
+    if n_components == 1:
+        vals = np.asarray(ev.values(jnp.asarray(vec[space.cell_dofs])))
+        return float(np.abs(vals).max())
+    cells = jnp.asarray(np.transpose(vec[:, space.cell_dofs], (1, 0, 2)))
+    vals = np.asarray(ev.values(cells))  # (E, C, n_q)
+    mag = np.sqrt((vals**2).sum(axis=1))
+    return float(mag.max())
