@@ -1,0 +1,204 @@
+"""2D Taylor / 3D Beltrami analytic Navier-Stokes benchmark driver.
+
+Mirrors the reference driver /root/reference/tests/beltrami.cc: the decaying
+Taylor vortex (Kim & Moin) in 2D and the Beltrami flow (Ethier & Steinman) in
+3D on [-1,1]^dim, all-Dirichlet time-dependent velocity BCs from the exact
+solution, pressure fixed against the exact pressure at the boundary; absolute
+and relative L2 errors plus cellwise divergence at the output cadence.
+
+The mesh here is the uniform part of the reference setup (its two locally
+refined cells require AMR/hanging nodes); in 3D the reference configuration
+is effectively uniform, so dof counts and error anchors match exactly
+(beltrami_3d.output: 4096 cells, 107811 + 4913 dofs).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.parameters import FlowParameters
+from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes, fmt_g
+from adaflo_tpu.utils.errors import (
+    cell_divergence_norm,
+    interpolate,
+    l2_error,
+    l2_norm,
+)
+
+
+def exact_u(nu: float, dim: int):
+    a = 0.25 * np.pi
+    d = (2.0 if dim == 3 else np.sqrt(2.0)) * a
+
+    def fn(x, t=0.0):
+        if dim == 3:
+            decay = np.exp(-nu * d * d * t)
+            u0 = -a * (
+                np.exp(a * x[:, 0]) * np.sin(a * x[:, 1] + d * x[:, 2])
+                + np.exp(a * x[:, 2]) * np.cos(a * x[:, 0] + d * x[:, 1])
+            )
+            u1 = -a * (
+                np.exp(a * x[:, 1]) * np.sin(a * x[:, 2] + d * x[:, 0])
+                + np.exp(a * x[:, 0]) * np.cos(a * x[:, 1] + d * x[:, 2])
+            )
+            u2 = -a * (
+                np.exp(a * x[:, 2]) * np.sin(a * x[:, 0] + d * x[:, 1])
+                + np.exp(a * x[:, 1]) * np.cos(a * x[:, 2] + d * x[:, 0])
+            )
+            return np.stack([u0, u1, u2]) * decay
+        decay = np.exp(-2.0 * nu * a * a * t)
+        u0 = -a * np.cos(a * x[:, 0]) * np.sin(a * x[:, 1]) * decay
+        u1 = a * np.sin(a * x[:, 0]) * np.cos(a * x[:, 1]) * decay
+        return np.stack([u0, u1])
+
+    return fn
+
+
+def exact_p(nu: float, dim: int):
+    a = 0.25 * np.pi
+    d = 2.0 * a
+
+    def fn(x, t=0.0):
+        if dim == 3:
+            return (
+                -a
+                * a
+                * 0.5
+                * (
+                    np.exp(2 * a * x[:, 0])
+                    + np.exp(2 * a * x[:, 1])
+                    + np.exp(2 * a * x[:, 2])
+                    + 2
+                    * np.sin(a * x[:, 0] + d * x[:, 1])
+                    * np.cos(a * x[:, 2] + d * x[:, 0])
+                    * np.exp(a * (x[:, 1] + x[:, 2]))
+                    + 2
+                    * np.sin(a * x[:, 1] + d * x[:, 2])
+                    * np.cos(a * x[:, 0] + d * x[:, 1])
+                    * np.exp(a * (x[:, 2] + x[:, 0]))
+                    + 2
+                    * np.sin(a * x[:, 2] + d * x[:, 0])
+                    * np.cos(a * x[:, 1] + d * x[:, 2])
+                    * np.exp(a * (x[:, 0] + x[:, 1]))
+                )
+                * np.exp(-2 * nu * d * d * t)
+            )
+        return (
+            -a
+            * a
+            * 0.25
+            * (np.cos(2 * a * x[:, 0]) + np.cos(2 * a * x[:, 1]))
+            * np.exp(-4.0 * nu * a * a * t)
+        )
+
+    return fn
+
+
+class BeltramiProblem:
+    def __init__(self, parameters: FlowParameters, out=None) -> None:
+        self.parameters = parameters
+        self.out = out
+        dim = parameters.dimension
+        self.mesh = StructuredMesh.subdivided_hyper_rectangle(
+            (4,) * dim, (-1.0,) * dim, (1.0,) * dim
+        )
+        # reference applies global_refinements - 2 before its local marks and
+        # one more global refinement after (beltrami.cc:400-412); uniform net
+        # effect: global_refinements - 1
+        self._net_refinements = max(parameters.global_refinements - 1, 0)
+        parameters.global_refinements = self._net_refinements
+        self.navier_stokes = NavierStokes(parameters, self.mesh, out=out)
+        self.nu = parameters.viscosity
+
+    def _p(self, *a, **k):
+        print(*a, **k, file=self.out or sys.stdout)
+
+    def compute_errors(self) -> None:
+        ns = self.navier_stokes
+        time = ns.time_stepping.now()
+        deg = self.parameters.velocity_degree
+        dim = self.mesh.dim
+        cell_div = cell_divergence_norm(ns.u_space, ns.solution[0])
+        p_err = l2_error(
+            ns.p_space, ns.solution[1], exact_p(self.nu, dim), time, deg + 2
+        )
+        u_err = l2_error(
+            ns.u_space,
+            ns.solution[0],
+            exact_u(self.nu, dim),
+            time,
+            deg + 2,
+            n_components=dim,
+        )
+        p_norm = l2_norm(ns.p_space, ns.solution[1], deg)
+        u_norm = l2_norm(ns.u_space, ns.solution[0], deg, n_components=dim)
+        self._p(
+            f"  L2-Errors absolute: ||e_p||_L2 = {fmt4(p_err)},"
+            f"   ||e_u||_L2 = {fmt4(u_err)}"
+        )
+        self._p(
+            f"  L2-Errors relative: ||e_p||_L2 = {fmt4(p_err / p_norm)},"
+            f"   ||e_u||_L2 = {fmt4(u_err / u_norm)}"
+        )
+        self._p(f"  Cell divergence:    |div(u)|_cells = {fmt4(cell_div)}")
+
+    def output_results(self) -> None:
+        ns = self.navier_stokes
+        if not ns.time_stepping.at_tick(self.parameters.output_frequency):
+            return
+        self.compute_errors()
+
+    def run(self) -> None:
+        ns = self.navier_stokes
+        dim = self.mesh.dim
+        par = self.parameters
+        self._p(
+            f"Running a {dim}D Beltrami problem using "
+            f"{ns.time_stepping.name()}, Q{par.velocity_degree}"
+            f"/Q{par.pressure_degree}"
+            f"{'+' if par.augmented_taylor_hood else ''} elements on 1 processes"
+        )
+        ns.set_velocity_dirichlet_boundary(
+            0, lambda x, t: exact_u(self.nu, dim)(x, t)
+        )
+        ns.fix_pressure_constant(0, lambda x, t: exact_p(self.nu, dim)(x, t))
+        ns.setup_problem()
+        ns.print_n_dofs()
+
+        # initial condition: exact velocity and pressure at t=0
+        ns.solution[0] = _to_jnp(interpolate(ns.u_space, exact_u(self.nu, dim)))
+        ns.solution[1] = _to_jnp(interpolate(ns.p_space, exact_p(self.nu, dim)))
+        self.output_results()
+
+        while not ns.time_stepping.at_end():
+            ns.init_time_advance(True)
+            ns.evaluate_time_step()
+            self.output_results()
+
+
+def _to_jnp(a):
+    import jax.numpy as jnp
+
+    return jnp.asarray(a)
+
+
+def fmt4(x: float) -> str:
+    s = f"{x:.4g}"
+    if "e" in s:
+        mant, ex = s.split("e")
+        return f"{mant}e{int(ex):+03d}"
+    return s
+
+
+def main(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    paramfile = argv[0] if argv else "beltrami.prm"
+    parameters = FlowParameters.from_file(paramfile)
+    BeltramiProblem(parameters).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ class NavierStokes(FlowBaseAlgorithm):
         self,
         parameters: FlowParameters,
         mesh: StructuredMesh,
-        out=sys.stdout,
+        out=None,
     ) -> None:
         super().__init__()
         self.parameters = parameters
@@ -69,7 +69,7 @@ class NavierStokes(FlowBaseAlgorithm):
 
     # -- printing --------------------------------------------------------
     def _p(self, *args, **kw):
-        print(*args, **kw, file=self.out)
+        print(*args, **kw, file=self.out or sys.stdout)
 
     # ------------------------------------------------------------------
     def setup_problem(self, initial_velocity_fn=None) -> None:

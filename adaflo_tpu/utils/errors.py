@@ -53,6 +53,37 @@ def l2_error(
     return float(np.sqrt(np.sum(diff2 * jxw)))
 
 
+def l2_norm(space: ScalarSpace, vec, n_q_1d: int, n_components: int = 1) -> float:
+    """sqrt(int u_h^2 dx) with an n_q_1d Gauss rule (for relative errors,
+    beltrami.cc:280-297 uses degree v_degree)."""
+    return l2_error(
+        space,
+        vec,
+        lambda x, t: (
+            np.zeros(len(x)) if n_components == 1 else np.zeros((n_components, len(x)))
+        ),
+        n_q_1d=n_q_1d,
+        n_components=n_components,
+    )
+
+
+def cell_divergence_norm(space: ScalarSpace, u, n_q_1d: int | None = None) -> float:
+    """l2 norm over cells of the cellwise integral of div(u)
+    (beltrami.cc:228-251)."""
+    import jax.numpy as jnp
+
+    mesh = space.mesh
+    if n_q_1d is None:
+        n_q_1d = space.degree + 1
+    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
+    u = np.asarray(u)
+    cells = jnp.asarray(np.transpose(u[:, space.cell_dofs], (1, 0, 2)))
+    grads = np.asarray(ev.gradients(cells))  # (E, C, dim, n_q)
+    div = np.trace(grads, axis1=1, axis2=2)  # (E, n_q)
+    cell_div = (div * np.asarray(ev.jxw)[None, :]).sum(axis=1)
+    return float(np.sqrt((cell_div**2).sum()))
+
+
 def max_value(space: ScalarSpace, vec, n_components: int = 1) -> float:
     """Maximum magnitude over quadrature points (get_maximal_velocity
     equivalent, two_phase_base.cc:479-545)."""

@@ -1,0 +1,119 @@
+"""Golden-output integration tests for the single-phase NS drivers.
+
+Mirrors the reference test strategy (SURVEY.md section 4): driver x prm x
+stored normalized output, numdiff-tolerant comparison, plus hard assertions
+on physics anchors taken from the *reference's* golden outputs where the
+discretization matches exactly.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from adaflo_tpu.parameters import FlowParameters
+from adaflo_tpu.testing import compare_with_golden, run_driver_capture
+
+HERE = Path(__file__).parent
+PRMS = HERE / "prms"
+GOLDEN = HERE / "golden"
+
+SLOW = os.environ.get("ADAFLO_RUN_SLOW") is None
+
+
+def test_poiseuille_small_golden():
+    from adaflo_tpu.drivers.poiseuille import main
+
+    text = run_driver_capture(main, str(PRMS / "poiseuille_ns_small.prm"))
+    # sanity anchors before golden comparison: steady state reached
+    assert "converged." in text
+    lines = [l for l in text.splitlines() if "L2-Errors" in l]
+    last_eu = float(lines[-1].split("=")[-1])
+    assert last_eu < 1e-5, f"channel did not reach steady profile: {lines[-1]}"
+    compare_with_golden(text, GOLDEN / "poiseuille_ns_small.output")
+
+
+def test_beltrami_2d_small_golden():
+    from adaflo_tpu.drivers.beltrami import main
+
+    text = run_driver_capture(main, str(PRMS / "beltrami_2d_small.prm"))
+    lines = [l for l in text.splitlines() if "absolute" in l]
+    # initial interpolation errors must be tiny for Q3 on the Taylor vortex
+    first_ep = float(lines[0].split("=")[1].split(",")[0])
+    first_eu = float(lines[0].split("=")[-1])
+    assert first_eu < 1e-6 and first_ep < 1e-4
+    compare_with_golden(text, GOLDEN / "beltrami_2d_small.output")
+
+
+def test_poiseuille_reference_anchor():
+    """Run the reference poiseuille_ns configuration to t=2 and compare the
+    L2 velocity error against the value in the reference's golden output
+    (tests/poiseuille_ns.output: ||e_u||_L2 = 0.1321 after step 4).
+    Discretization-determined, so it must reproduce across codebases."""
+    from adaflo_tpu.drivers.poiseuille import ChannelProblem
+    from adaflo_tpu.utils.errors import l2_error
+    from adaflo_tpu.drivers.poiseuille import exact_p, exact_u
+
+    par = FlowParameters.from_file(str(PRMS / "poiseuille_ns.prm"))
+    par.end_time = 2.0
+    par.output_verbosity = 0
+    import io
+
+    prob = ChannelProblem(par, out=io.StringIO())
+    prob.run()
+    ns = prob.navier_stokes
+    eu = l2_error(
+        ns.u_space, ns.solution[0], exact_u(0.5, 2), n_components=2
+    )
+    ep = l2_error(ns.p_space, ns.solution[1], exact_p)
+    assert abs(eu - 0.1321) < 2e-4, eu
+    assert ep < 1e-8, ep
+
+
+def test_beltrami_3d_interpolation_anchor():
+    """t=0 interpolation errors on the reference beltrami_3d mesh must match
+    the reference golden output (beltrami_3d.output:5-7): dof counts
+    107811 + 4913, ||e_p|| = 0.02383, ||e_u|| = 0.0001993, divergence ~ 0."""
+    import io
+    import jax.numpy as jnp
+
+    from adaflo_tpu.drivers.beltrami import (
+        BeltramiProblem,
+        exact_p,
+        exact_u,
+    )
+    from adaflo_tpu.utils.errors import (
+        cell_divergence_norm,
+        interpolate,
+        l2_error,
+    )
+
+    par = FlowParameters.from_string(
+        """
+subsection Navier-Stokes
+  set dimension = 3
+  set global refinements = 3
+  set velocity degree = 2
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+    )
+    prob = BeltramiProblem(par, out=io.StringIO())
+    ns = prob.navier_stokes
+    ns.set_velocity_dirichlet_boundary(0, lambda x, t: exact_u(1.0, 3)(x, t))
+    ns.fix_pressure_constant(0, lambda x, t: exact_p(1.0, 3)(x, t))
+    ns.setup_problem()
+    assert prob.mesh.n_cells == 4096
+    nu, npp = ns.n_dofs
+    assert (nu, npp) == (107811, 4913)
+    ns.solution[0] = jnp.asarray(interpolate(ns.u_space, exact_u(1.0, 3)))
+    ns.solution[1] = jnp.asarray(interpolate(ns.p_space, exact_p(1.0, 3)))
+    ep = l2_error(ns.p_space, ns.solution[1], exact_p(1.0, 3), 0.0, 4)
+    eu = l2_error(ns.u_space, ns.solution[0], exact_u(1.0, 3), 0.0, 4, n_components=3)
+    div = cell_divergence_norm(ns.u_space, ns.solution[0])
+    assert abs(ep - 0.02383) < 1e-5, ep
+    assert abs(eu - 0.0001993) < 1e-7, eu
+    assert div < 1e-10, div
