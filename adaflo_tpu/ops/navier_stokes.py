@@ -321,9 +321,13 @@ class NavierStokesOperator:
         r_u = self.ev_u.integrate_gradients(stress)
         if submit_val is not None:
             r_u = r_u + self.ev_u.integrate_values(submit_val)
-        r_p = self.ev_p.integrate_values(-div)
         ru = self._scatter_u(r_u)
-        rp = self._scatter_p(r_p)
+        if par.linearization == Linearization.projection:
+            # the pressure block is not assembled for the fractional-step
+            # scheme (navier_stokes_matrix.cc:902-907)
+            rp = jnp.zeros(self.p_space.n_dofs)
+        else:
+            rp = self._scatter_p(self.ev_p.integrate_values(-div))
         return ru, rp, new_lin
 
     def vmult(

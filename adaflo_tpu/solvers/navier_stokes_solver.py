@@ -228,6 +228,23 @@ class NavierStokes(FlowBaseAlgorithm):
 
         self._compute_prec_fn = compute_prec_fn
 
+        if par.linearization == Linearization.projection:
+            @jax.jit
+            def solve_projection_fn(rhs_u, sol_u, tw, state):
+                return prec.solve_projection_system(
+                    state,
+                    sol_u,
+                    rhs_u,
+                    tw,
+                    jnp.float64(par.tol_nl_iteration),
+                    jnp.float64(par.tol_lin_iteration),
+                    par.time_step_size_start,
+                    self.constraints_u,
+                    self.constraints_schur,
+                )
+
+            self._solve_projection_fn = solve_projection_fn
+
         @jax.jit
         def extrapolate_fn(cur, old, old_old, f1, f2):
             tmp = [f1 * c + f2 * o for c, o in zip(cur, old)]
@@ -351,13 +368,12 @@ class NavierStokes(FlowBaseAlgorithm):
         if ts.step_no() > 1:
             w, wo, woo = ts.weight(), ts.weight_old(), ts.weight_old_old()
             cur = self.solution[1]
-            old = self.solution_old[1]
-            old_old = self.solution_old_old[1]
+            old = self.solution_old[1]  # holds phi^n (the Poisson update)
+            old_old = self.solution_old_old[1]  # phi^{n-1}
             tmp = cur - (wo / w) * old - (woo / w) * old_old
             self.solution_old_old[1] = old
             self.solution_update[1] = cur
             self.solution[1] = tmp
-            self.solution_old[1] = cur
         elif ts.step_no() == 1:
             z = jnp.zeros_like(self.solution[1])
             self.solution_old[1] = z
@@ -440,10 +456,22 @@ class NavierStokes(FlowBaseAlgorithm):
 
     def solve_system(self, linear_tolerance: float):
         """Two-stage linear solve (navier_stokes.cc:559-653): cheap
-        preconditioner first, then inner solves under FGMRES."""
+        preconditioner first, then inner solves under FGMRES. The projection
+        scheme dispatches to the fractional-step solve (cc:563-565)."""
         par = self.parameters
         tw = TimeWeights.from_time_stepping(self.time_stepping)
         rhs_u, rhs_p = self.system_rhs
+        if par.linearization == Linearization.projection:
+            du, dp, phi, iters, res = self._solve_projection_fn(
+                rhs_u, self.solution[0], tw, self._prec_state
+            )
+            self.solution_update[0] = du
+            self.solution_update[1] = dp
+            # solution_old[1] stores phi^{n+1} for the next extrapolation
+            # (the reference passes solution_old.block(1) as the projection
+            # update buffer, navier_stokes.cc:563-565)
+            self.solution_old[1] = phi
+            return int(iters), float(res)
         tol = jnp.float64(linear_tolerance)
         cheap_iters = min(par.iterations_before_inner_solvers, par.max_lin_iteration)
         du, dp, it1, res1, conv = self._solve_fn(
@@ -587,6 +615,21 @@ class NavierStokes(FlowBaseAlgorithm):
             self._p("]")
 
         self._apply_pressure_fix_shift()
+
+        # for projection, open boundaries carry pressure Dirichlet values
+        # (navier_stokes.cc:1046-1076)
+        if (
+            self.boundary.open_conditions_p
+            and par.linearization == Linearization.projection
+        ):
+            p = np.asarray(self.solution[1]).copy()
+            for bid, fn in self.boundary.open_conditions_p.items():
+                dofs = self.p_space.boundary_dofs(bid)
+                if len(dofs):
+                    p[dofs] = np.asarray(
+                        fn(self.p_space.node_coords[dofs], ts.now())
+                    )
+            self.solution[1] = jnp.asarray(p)
         return (step, n_tot_iterations)
 
     # ------------------------------------------------------------------

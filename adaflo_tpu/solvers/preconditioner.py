@@ -285,3 +285,82 @@ class NavierStokesPreconditioner:
         if par.density > 0:
             dp = dp + self._poisson_approx_inverse(st, temp, do_inner)
         return (du, dp)
+
+    # ------------------------------------------------------------------
+    def solve_projection_system(
+        self,
+        st: PrecState,
+        solution_u,
+        rhs_u,
+        tw: TimeWeights,
+        nl_tolerance,
+        lin_tolerance,
+        dt_start: float,
+        constraints_u,
+        constraints_schur,
+    ):
+        """Fractional-step pressure-correction solve (ns_prec.cc:777-850):
+        GMRES momentum solve, CG pressure-Poisson projection, rotational
+        update via the mu-weighted divergence and a mass solve. Returns
+        (update_u, update_p, phi, iterations, residual)."""
+        from adaflo_tpu.solvers.krylov import gmres
+
+        op = self.op
+        par = self.parameters
+        uA = lambda v: op.velocity_vmult(v, tw, st.lin, st.coeffs)
+        cheb = ChebyshevPreconditioner(
+            uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
+        )
+        res_u = gmres(
+            uA,
+            rhs_u,
+            jnp.zeros_like(rhs_u),
+            0.5 * nl_tolerance,
+            par.max_lin_iteration,
+            restart=50,
+            M=cheb,
+        )
+        du = res_u.x
+        for c, con in enumerate(constraints_u):
+            du = du.at[c].set(con.distribute(du[c]))
+        u_star = solution_u + du
+
+        # pressure Poisson: rhs = -div(u*) with plain reads (cc:811-825)
+        rhs_p = op.divergence_vmult_add(
+            jnp.zeros(op.p_space.n_dofs), u_star, coeffs=st.coeffs, plain=True
+        )
+        pA = lambda p: op.pressure_poisson_vmult(
+            p, st.inv_rho_weight, st.coeffs, constraints_schur
+        )
+        pcheb = ChebyshevPreconditioner(
+            pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+        )
+        rho_min = min(par.density, par.density + par.density_diff)
+        tol_p = 0.1 * dt_start / rho_min * nl_tolerance
+        cs = constraints_schur.constrained_dofs
+        rhs_pz = rhs_p.at[cs].set(0.0) if len(cs) else rhs_p
+        phi = cg(pA, rhs_pz, jnp.zeros_like(rhs_pz), tol_p, 1000, M=pcheb).x
+        phi = constraints_schur.distribute(phi)
+
+        # rotational part: rhs = -mu div(u*); mass solve (cc:827-846)
+        rhs_rot = op.divergence_vmult_add(
+            jnp.zeros(op.p_space.n_dofs),
+            u_star,
+            weight_by_viscosity=True,
+            coeffs=st.coeffs,
+            plain=True,
+        )
+        mA = lambda p: op.pressure_mass_vmult(p, jnp.float64(1.0))
+        dinv = DiagonalPreconditioner(st.mass_diag).inverse
+        dp_rot = cg(
+            mA,
+            rhs_rot,
+            jnp.zeros_like(rhs_rot),
+            jnp.float64(1e-50),
+            1000,
+            M=lambda r: dinv * r,
+            reduction=0.1 * lin_tolerance,
+        ).x
+        dp_rot = constraints_schur.distribute(dp_rot)
+        dp = dp_rot + phi
+        return du, dp, phi, res_u.iterations, res_u.residual

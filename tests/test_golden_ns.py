@@ -117,3 +117,35 @@ end
     assert abs(ep - 0.02383) < 1e-5, ep
     assert abs(eu - 0.0001993) < 1e-7, eu
     assert div < 1e-10, div
+
+
+def test_poiseuille_stokes_golden():
+    from adaflo_tpu.drivers.poiseuille import main
+
+    text = run_driver_capture(main, str(PRMS / "poiseuille_stokes.prm"))
+    # steady Stokes: quadratic/linear exact solution resolved to roundoff
+    lines = [l for l in text.splitlines() if "L2-Errors" in l]
+    eu = float(lines[-1].split("=")[-1])
+    ep = float(lines[-1].split("=")[1].split(",")[0])
+    assert eu < 1e-9 and ep < 1e-8, lines[-1]
+    compare_with_golden(text, GOLDEN / "poiseuille_stokes.output")
+
+
+def test_poiseuille_projection_golden():
+    from adaflo_tpu.drivers.poiseuille import main
+
+    text = run_driver_capture(main, str(PRMS / "poiseuille_ns_proj_small.prm"))
+    lines = [l for l in text.splitlines() if "L2-Errors" in l]
+    eu = float(lines[-1].split("=")[-1])
+    assert eu < 5e-3, lines[-1]
+    compare_with_golden(text, GOLDEN / "poiseuille_ns_proj_small.output")
+
+
+def test_poiseuille_stationary_golden():
+    from adaflo_tpu.drivers.poiseuille import main
+
+    text = run_driver_capture(main, str(PRMS / "poiseuille_stationary.prm"))
+    lines = [l for l in text.splitlines() if "L2-Errors" in l]
+    eu = float(lines[-1].split("=")[-1])
+    assert eu < 1e-9, lines[-1]
+    compare_with_golden(text, GOLDEN / "poiseuille_stationary.output")
