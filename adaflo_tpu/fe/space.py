@@ -41,6 +41,12 @@ class ScalarSpace:
             for a in range(self.dim)
         )
         self.n_dofs = int(np.prod(self.n_nodes_axis))
+        # device vectors may be padded to a multiple (multi-chip sharding
+        # needs sizes divisible by the device count; padding entries stay 0)
+        self.n_dofs_padded = self.n_dofs
+
+    def set_padding(self, multiple: int) -> None:
+        self.n_dofs_padded = -(-self.n_dofs // multiple) * multiple
 
     # ------------------------------------------------------------------
     @cached_property

@@ -117,7 +117,7 @@ class NavierStokesOperator:
 
     def _scatter_u(self, r_cells):
         """(E, dim, n_loc_u) -> (dim, n_u), with condense."""
-        n = self.u_space.n_dofs
+        n = self.u_space.n_dofs_padded
         flat_idx = self.cd_u.reshape(-1)
         out = []
         for c in range(self.dim):
@@ -128,7 +128,7 @@ class NavierStokesOperator:
         return jnp.stack(out)
 
     def _scatter_p(self, r_cells):
-        n = self.p_space.n_dofs
+        n = self.p_space.n_dofs_padded
         r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
             r_cells.reshape(-1)
         )
@@ -141,14 +141,15 @@ class NavierStokesOperator:
         mode zeroed on constrained dofs)."""
         ones = jnp.ones((self.u_space.mesh.n_cells, self.ev_p_low.n_q))
         lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
-        mode = jnp.ones(self.p_space.n_dofs)
+        n, npad = self.p_space.n_dofs, self.p_space.n_dofs_padded
+        mode = jnp.zeros(npad).at[:n].set(1.0)
         if len(self.constraints_p.constrained_dofs):
             mode = mode.at[self.constraints_p.constrained_dofs].set(0.0)
             lumped = lumped.at[self.constraints_p.constrained_dofs].set(0.0)
         self.pressure_fix_mode = (mode, lumped, 1.0 / float(mode @ lumped))
 
     def _scatter_p_plain(self, r_cells):
-        n = self.p_space.n_dofs
+        n = self.p_space.n_dofs_padded
         return jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
             r_cells.reshape(-1)
         )
@@ -325,7 +326,7 @@ class NavierStokesOperator:
         if par.linearization == Linearization.projection:
             # the pressure block is not assembled for the fractional-step
             # scheme (navier_stokes_matrix.cc:902-907)
-            rp = jnp.zeros(self.p_space.n_dofs)
+            rp = jnp.zeros(self.p_space.n_dofs_padded)
         else:
             rp = self._scatter_p(self.ev_p.integrate_values(-div))
         return ru, rp, new_lin
@@ -422,7 +423,7 @@ class NavierStokesOperator:
         idx_i = jnp.arange(n_loc)[None, :]
         diag_loc = out[idx_c, idx_i, :, idx_c, idx_i]  # (dim, n_loc, E)
         diag_loc = jnp.transpose(diag_loc, (2, 0, 1))  # (E, dim, n_loc)
-        n = self.u_space.n_dofs
+        n = self.u_space.n_dofs_padded
         flat_idx = self.cd_u.reshape(-1)
         rows = []
         for c in range(dim):
@@ -519,7 +520,7 @@ class NavierStokesOperator:
         return con.resolve(p)[self.cd_p]
 
     def _scatter_p_con(self, r_cells, con: Constraints):
-        n = self.p_space.n_dofs
+        n = self.p_space.n_dofs_padded
         r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
             r_cells.reshape(-1)
         )
@@ -541,7 +542,7 @@ class NavierStokesOperator:
         out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))  # (E, n_loc)
-        d = jnp.zeros(self.p_space.n_dofs).at[self.cd_p.reshape(-1)].add(
+        d = jnp.zeros(self.p_space.n_dofs_padded).at[self.cd_p.reshape(-1)].add(
             diag_loc.reshape(-1)
         )
         if len(con.constrained_dofs):

@@ -1,0 +1,61 @@
+"""Multi-chip distribution of the solver state over a device mesh.
+
+TPU-native replacement for the reference's MPI domain decomposition
+(p4est partitioning + ghosted vectors + MPI collectives, SURVEY.md section
+2.2): dof vectors and cell index maps are sharded over a 1D `cells` device
+mesh with `jax.sharding.NamedSharding`; XLA GSPMD then partitions every
+jitted kernel, inserting the halo gathers/scatter-reductions and `psum`-style
+reductions that the reference performs with update_ghost_values()/compress()
+and MPI_Allreduce. Krylov dot products become on-ICI collectives inside the
+same XLA program as the mat-vecs.
+
+The structured lattice is sharded by contiguous dof/cell blocks (a 1D slab
+decomposition of the lexicographic ordering — the Morton-ordered analog
+arrives with the AMR forest). One code path serves 1..N chips; no
+communication code exists in the solver itself.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def solver_mesh(devices=None, axis_name: str = "cells") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _put(x, sharding):
+    return jax.device_put(x, sharding)
+
+
+def shard_solver_state(ns, mesh: Mesh, axis_name: str = "cells") -> None:
+    """Shard a NavierStokes solver's state and operator index maps over the
+    device mesh in place. Dof vectors shard on their last axis; cell-local
+    index maps shard on the cell axis, which makes XLA partition all cell
+    kernels by cells."""
+    vec_p = NamedSharding(mesh, P(axis_name))
+    vec_u = NamedSharding(mesh, P(None, axis_name))
+    cells = NamedSharding(mesh, P(axis_name, None))
+    repl = NamedSharding(mesh, P())
+
+    for name in (
+        "solution",
+        "solution_old",
+        "solution_old_old",
+        "solution_update",
+        "const_rhs",
+        "user_rhs",
+    ):
+        blocks = getattr(ns, name)
+        blocks[0] = _put(blocks[0], vec_u)
+        blocks[1] = _put(blocks[1], vec_p)
+
+    op = ns.operator
+    op.cd_u = _put(op.cd_u, cells)
+    op.cd_p = _put(op.cd_p, cells)
+    if op.pressure_fix_mode is not None:
+        mode, weights, inv = op.pressure_fix_mode
+        op.pressure_fix_mode = (_put(mode, vec_p), _put(weights, vec_p), inv)

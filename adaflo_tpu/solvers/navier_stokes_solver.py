@@ -48,10 +48,12 @@ class NavierStokes(FlowBaseAlgorithm):
         parameters: FlowParameters,
         mesh: StructuredMesh,
         out=None,
+        pad_dofs_to: int = 1,
     ) -> None:
         super().__init__()
         self.parameters = parameters
         self.mesh = mesh
+        self.pad_dofs_to = pad_dofs_to
         self.time_stepping = TimeStepping(parameters)
         self.out = out
         self.dim = mesh.dim
@@ -82,6 +84,9 @@ class NavierStokes(FlowBaseAlgorithm):
 
         self.u_space = ScalarSpace(mesh, par.velocity_degree)
         self.p_space = ScalarSpace(mesh, par.pressure_degree)
+        if self.pad_dofs_to > 1:
+            self.u_space.set_padding(self.pad_dofs_to)
+            self.p_space.set_padding(self.pad_dofs_to)
         self._build_constraints()
 
         self.operator = NavierStokesOperator(
@@ -97,7 +102,7 @@ class NavierStokes(FlowBaseAlgorithm):
             par, self.operator, self.constraints_schur
         )
 
-        n_u, n_p = self.u_space.n_dofs, self.p_space.n_dofs
+        n_u, n_p = self.u_space.n_dofs_padded, self.p_space.n_dofs_padded
         zeros_u = jnp.zeros((self.dim, n_u))
         zeros_p = jnp.zeros(n_p)
         self.solution = [zeros_u, zeros_p]
@@ -111,7 +116,7 @@ class NavierStokes(FlowBaseAlgorithm):
             vals = np.asarray(
                 initial_velocity_fn(self.u_space.node_coords, self.time_stepping.now())
             )
-            self.solution[0] = jnp.asarray(vals)
+            self.solution[0] = self.solution[0].at[:, : vals.shape[1]].set(vals)
 
         self._build_jitted()
         self.system_is_setup = True
@@ -313,7 +318,7 @@ class NavierStokes(FlowBaseAlgorithm):
 
         # open-boundary face integrals -> const_rhs (cc:1260-1317): natural
         # traction BC sigma.n = -pbar n gives rhs -(pbar, v.n)_dOmega
-        const_u = np.zeros((self.dim, u_space.n_dofs))
+        const_u = np.zeros((self.dim, u_space.n_dofs_padded))
         for bid, fn in bd.open_conditions_p.items():
             for axis, end, face_dofs, qcoords, V_face, jxw in (
                 u_space.boundary_face_quadrature(bid, self.parameters.velocity_degree + 1)
@@ -328,7 +333,7 @@ class NavierStokes(FlowBaseAlgorithm):
         # drop contributions on constrained rows (distribute_local_to_global)
         for c in range(self.dim):
             const_u[c, self.constraints_u[c].constrained_dofs] = 0.0
-        self.const_rhs = [jnp.asarray(const_u), jnp.zeros(self.p_space.n_dofs)]
+        self.const_rhs = [jnp.asarray(const_u), jnp.zeros(self.p_space.n_dofs_padded)]
 
     # ------------------------------------------------------------------
     def init_time_advance(self, print_time_info: bool = True) -> None:

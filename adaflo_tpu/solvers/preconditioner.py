@@ -327,7 +327,7 @@ class NavierStokesPreconditioner:
 
         # pressure Poisson: rhs = -div(u*) with plain reads (cc:811-825)
         rhs_p = op.divergence_vmult_add(
-            jnp.zeros(op.p_space.n_dofs), u_star, coeffs=st.coeffs, plain=True
+            jnp.zeros(op.p_space.n_dofs_padded), u_star, coeffs=st.coeffs, plain=True
         )
         pA = lambda p: op.pressure_poisson_vmult(
             p, st.inv_rho_weight, st.coeffs, constraints_schur
@@ -344,7 +344,7 @@ class NavierStokesPreconditioner:
 
         # rotational part: rhs = -mu div(u*); mass solve (cc:827-846)
         rhs_rot = op.divergence_vmult_add(
-            jnp.zeros(op.p_space.n_dofs),
+            jnp.zeros(op.p_space.n_dofs_padded),
             u_star,
             weight_by_viscosity=True,
             coeffs=st.coeffs,

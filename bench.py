@@ -1,0 +1,107 @@
+"""Benchmark: matrix-free Navier-Stokes mat-vec throughput (DoF/s/chip).
+
+The driver-declared target metric (BASELINE.md): DoF/s per chip for the
+matrix-free coupled NS mat-vec, vs the reference sample of ~34 MDoF/s
+(3.3 ms/call at 112,724 DoF on 3 x86 ranks, beltrami_3d.output:23).
+
+Runs on whatever the default JAX platform provides (the real TPU chip under
+the driver); prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    os.environ.setdefault("ADAFLO_BENCH", "1")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from adaflo_tpu.fe.constraints import Constraints
+    from adaflo_tpu.fe.space import ScalarSpace
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.ops.navier_stokes import (
+        Linearized,
+        NavierStokesOperator,
+        TimeWeights,
+    )
+    from adaflo_tpu.parameters import FlowParameters
+
+    # 3D Q2/Q1 coupled Newton mat-vec, ~3.7M dofs
+    cells = int(os.environ.get("ADAFLO_BENCH_CELLS", "48"))
+    par = FlowParameters.from_string(
+        """
+subsection Navier-Stokes
+  set dimension = 3
+  set velocity degree = 2
+end
+"""
+    )
+    mesh = StructuredMesh((cells,) * 3, (0.0,) * 3, (1.0,) * 3)
+    u_space = ScalarSpace(mesh, 2)
+    p_space = ScalarSpace(mesh, 1)
+    cu = []
+    for _ in range(3):
+        c = Constraints(u_space.n_dofs)
+        c.close()
+        cu.append(c)
+    cp = Constraints(p_space.n_dofs)
+    cp.close()
+    op = NavierStokesOperator(par, u_space, p_space, cu, cp)
+    n_dofs = 3 * u_space.n_dofs + p_space.n_dofs
+
+    tw = TimeWeights(
+        jnp.float64(30.0), jnp.float64(-30.0), jnp.float64(0.0), jnp.float64(1.0)
+    )
+    key = jax.random.PRNGKey(0)
+    u = jax.random.normal(key, (3, u_space.n_dofs))
+    p = jax.random.normal(key, (p_space.n_dofs,))
+    lin_val = op.ev_u.values(op._gather_u(u, resolve=False))
+    lin_grad = op.ev_u.gradients(op._gather_u(u, resolve=False))
+    lin = Linearized(lin_val, lin_grad, jnp.trace(lin_grad, axis1=1, axis2=2))
+
+    reps = int(os.environ.get("ADAFLO_BENCH_REPS", "20"))
+
+    @jax.jit
+    def chained(u, p):
+        def body(i, carry):
+            uu, pp = carry
+            ru, rp = op.vmult(uu, pp, tw, lin)
+            # keep magnitudes bounded
+            s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
+            return (ru * s, rp * s)
+
+        return jax.lax.fori_loop(0, reps, body, (u, p))
+
+    # compile + warmup
+    out = chained(u, p)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = chained(u, p)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    dofs_per_s = n_dofs * reps / dt
+    baseline = 34e6  # reference sample MDoF/s (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "ns_matvec_throughput",
+                "value": dofs_per_s,
+                "unit": "DoF/s/chip",
+                "vs_baseline": dofs_per_s / baseline,
+                "n_dofs": n_dofs,
+                "ms_per_matvec": dt / reps * 1e3,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
