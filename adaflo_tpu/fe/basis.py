@@ -72,15 +72,58 @@ def _lagrange_eval(nodes: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.nda
     return vals, derivs
 
 
+def iterated_gauss_quadrature(
+    n_sub: int, n_per: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """QIterated(Gauss(n_per), n_sub) on [0, 1]: the n_per-point Gauss rule
+    on each of n_sub equal sub-intervals (the reference's level-set
+    quadrature, two_phase_base.cc:296-298)."""
+    q, w = gauss_quadrature(n_per)
+    pts = np.concatenate([(i + q) / n_sub for i in range(n_sub)])
+    wts = np.tile(w / n_sub, n_sub)
+    return pts, wts
+
+
+def _iso_q1_eval(n_sub: int, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Hat-function basis on n_sub equal sub-intervals of [0, 1]."""
+    n = n_sub + 1
+    nodes = np.linspace(0.0, 1.0, n)
+    h = 1.0 / n_sub
+    vals = np.zeros((len(x), n))
+    derivs = np.zeros((len(x), n))
+    for i in range(n):
+        xi = nodes[i]
+        left = (x >= xi - h) & (x < xi)
+        right = (x >= xi) & (x <= xi + h)
+        # right edge of the last interval
+        vals[:, i] = np.where(left, (x - (xi - h)) / h, 0.0) + np.where(
+            right, (xi + h - x) / h, 0.0
+        )
+        derivs[:, i] = np.where(left, 1.0 / h, 0.0) + np.where(right, -1.0 / h, 0.0)
+        if i == 0:
+            vals[:, i] = np.where(right, (xi + h - x) / h, 0.0)
+            derivs[:, i] = np.where(right, -1.0 / h, 0.0)
+        if i == n - 1:
+            vals[:, i] = np.where(left | (x == 1.0), (x - (xi - h)) / h, 0.0)
+            derivs[:, i] = np.where(left | (x == 1.0), 1.0 / h, 0.0)
+    return vals, derivs
+
+
 class LagrangeBasis1D:
-    """Lagrange basis of degree `degree` on given support points in [0, 1]."""
+    """Lagrange basis of degree `degree` on given support points in [0, 1].
+
+    support='iso_q1' gives the FE_Q_iso_Q1 basis: piecewise-linear hat
+    functions on `degree` equal sub-intervals (the reference's level-set /
+    phase-field concentration space, level_set_base.cc:54-60). It shares the
+    nodal lattice of an equidistant Lagrange basis, so all dof bookkeeping is
+    identical; only the tabulated shape matrices differ."""
 
     def __init__(self, degree: int, support: str = "gauss_lobatto") -> None:
         self.degree = degree
         self.n_dofs = degree + 1
         if support == "gauss_lobatto":
             self.nodes = gauss_lobatto_points(degree + 1)
-        elif support == "equidistant":
+        elif support in ("equidistant", "iso_q1"):
             self.nodes = equidistant_points(degree + 1)
         else:
             raise ValueError(support)
@@ -88,7 +131,10 @@ class LagrangeBasis1D:
 
     def tabulate(self, points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(values, derivatives) matrices of shape (len(points), n_dofs)."""
-        return _lagrange_eval(self.nodes, np.asarray(points, dtype=np.float64))
+        points = np.asarray(points, dtype=np.float64)
+        if self.support == "iso_q1":
+            return _iso_q1_eval(self.degree, points)
+        return _lagrange_eval(self.nodes, points)
 
     @lru_cache(maxsize=None)
     def at_gauss(self, n_q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

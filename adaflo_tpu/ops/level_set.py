@@ -1,0 +1,320 @@
+"""Matrix-free operators of the conservative (OKZ) level-set method.
+
+TPU-native re-design of the reference's four operator classes
+(level_set_okz_advance_concentration.cc, level_set_okz_compute_normal.cc,
+level_set_okz_compute_curvature.cc, level_set_okz_reinitialization.cc) plus
+the shared projection operator (level_set_okz.cc:239-313) and the surface
+tension force kernel (level_set_okz.cc:317-409):
+
+- LS advection: rhs = -(c w + u . grad c + BDF old terms), system
+  (c w + u . grad c) with frozen per-q-point `evaluated_convection`,
+- normal projection: rhs (v, grad c); system = the damped-Helmholtz
+  projection operator: mass + 4 max(h/sub, eps_used/eps)^2 Laplacian,
+- curvature: rhs (v, -div(n/|n|)) with dof-level normalization, same system,
+- OKZ reinitialization: compression-diffusion steps with the normal frozen
+  at the first reinit step.
+
+The concentration space is FE_Q_iso_Q1 (hat functions on a subdivided
+lattice), evaluated at the QIterated(Gauss 2, subdiv) rule — the same batched
+tensor-contraction machinery as every other operator, only the tabulated 1D
+matrices differ. Solvers replace the reference's assembled Trilinos
+projection matrix + ILU with matrix-free CG + Chebyshev/Jacobi.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.fe.basis import iterated_gauss_quadrature
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.ops.tensor import CellEvaluator
+from adaflo_tpu.parameters import FlowParameters
+
+
+class LevelSetOperators:
+    def __init__(
+        self,
+        parameters: FlowParameters,
+        ls_space: ScalarSpace,
+        u_space: ScalarSpace,
+        p_space: ScalarSpace,
+        constraints_ls: Constraints,
+        constraints_normals: Constraints,
+        constraints_curvature: Constraints,
+        epsilon_used: float,
+        cell_diameter: float,
+        minimal_edge_length: float,
+    ) -> None:
+        self.parameters = parameters
+        self.ls_space = ls_space
+        self.u_space = u_space
+        self.p_space = p_space
+        self.con_ls = constraints_ls
+        self.con_nrm = constraints_normals
+        self.con_curv = constraints_curvature
+        self.dim = ls_space.dim
+        mesh = ls_space.mesh
+        sub = parameters.concentration_subdivisions
+        self.subdiv = sub
+
+        q_ls = iterated_gauss_quadrature(sub, 2)
+        self.ev_ls = CellEvaluator(self.dim, ls_space.basis, q_ls, mesh.h)
+        self.ev_u_lsq = CellEvaluator(self.dim, u_space.basis, q_ls, mesh.h)
+        # NS quadrature (Gauss velocity_degree+1) for the force kernel
+        nq_ns = parameters.velocity_degree + 1
+        self.ev_ls_nsq = CellEvaluator(self.dim, ls_space.basis, nq_ns, mesh.h)
+        self.ev_p_nsq = CellEvaluator(self.dim, p_space.basis, nq_ns, mesh.h)
+        self.ev_u_nsq = CellEvaluator(self.dim, u_space.basis, nq_ns, mesh.h)
+
+        self.cd_ls = jnp.asarray(ls_space.cell_dofs)
+        self.cd_u = jnp.asarray(u_space.cell_dofs)
+        self.cd_p = jnp.asarray(p_space.cell_dofs)
+        self.n_q = self.ev_ls.n_q
+
+        # geometric scalars (uniform mesh; per-cell arrays arrive with AMR)
+        self.epsilon_used = epsilon_used
+        self.cell_diameter = cell_diameter  # max |J eigenvalue| = max(h)
+        self.minimal_edge_length = minimal_edge_length
+        # reinit diffusion: max(eps_used, h/sub) (reinit.cc:82-86)
+        self.reinit_diffusion = max(epsilon_used, cell_diameter / sub)
+        # projection damping: 4 max(h/sub, eps_used/eps)^2 (okz.cc:270-281)
+        self.projection_damping = 4.0 * max(
+            epsilon_used / parameters.epsilon, cell_diameter / sub
+        ) ** 2
+        # normal-operator damping (damping_scale_factor = 4,
+        # compute_normal.h:66) coincides with projection_damping here
+
+        # interpolation of the concentration space onto pressure support
+        # points (level_set_base.cc:65-137), for grad-pressure-compatible
+        # surface tension: (n_p_local, n_ls_local)
+        Vp1, _ = ls_space.basis.tabulate(p_space.basis.nodes)
+        P = Vp1
+        for _ in range(self.dim - 1):
+            P = np.kron(Vp1, P)
+        self.interp_ls_to_p = jnp.asarray(P)
+
+    # -- gather/scatter helpers -----------------------------------------
+    def _gather_ls(self, c, con: Optional[Constraints] = None):
+        if con is not None:
+            c = con.resolve(c)
+        return c[self.cd_ls]
+
+    def _scatter_ls(self, r_cells, con: Optional[Constraints] = None):
+        n = self.ls_space.n_dofs_padded
+        r = jnp.zeros(n, r_cells.dtype).at[self.cd_ls.reshape(-1)].add(
+            r_cells.reshape(-1)
+        )
+        if con is not None:
+            r = con.condense(r)
+        return r
+
+    def _gather_nrm(self, nv, con: Optional[Constraints] = None):
+        if con is not None:
+            nv = jnp.stack([con.resolve(nv[d]) for d in range(self.dim)])
+        return jnp.transpose(nv[:, self.cd_ls], (1, 0, 2))
+
+    def _scatter_nrm(self, r_cells, con: Optional[Constraints] = None):
+        n = self.ls_space.n_dofs_padded
+        flat = self.cd_ls.reshape(-1)
+        rows = []
+        for d in range(self.dim):
+            r = jnp.zeros(n, r_cells.dtype).at[flat].add(r_cells[:, d, :].reshape(-1))
+            if con is not None:
+                r = con.condense(r)
+            rows.append(r)
+        return jnp.stack(rows)
+
+    # -- lumped mass / diagonals ----------------------------------------
+    def lumped_mass(self):
+        """Lumped LS mass diagonal (initialize_mass_matrix_diagonal,
+        level_set_okz_preconditioner.h:31-76)."""
+        ones = jnp.ones((self.ls_space.mesh.n_cells, self.n_q))
+        return self._scatter_ls(self.ev_ls.integrate_values(ones))
+
+    def projection_diagonal(self):
+        """Exact diagonal of the projection operator (mass + damped
+        Laplacian), for Chebyshev/Jacobi."""
+        E = self.ls_space.mesh.n_cells
+        n_loc = self.ls_space.n_local
+        units = jnp.eye(n_loc)
+        damping = self.projection_damping
+
+        def apply_unit(unit):
+            pc = jnp.broadcast_to(unit[None], (E, n_loc))
+            r = self.ev_ls.integrate_values(self.ev_ls.values(pc))
+            r = r + self.ev_ls.integrate_gradients(self.ev_ls.gradients(pc) * damping)
+            return r
+
+        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
+        idx = jnp.arange(n_loc)
+        diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
+        d = jnp.zeros(self.ls_space.n_dofs_padded).at[self.cd_ls.reshape(-1)].add(
+            diag_loc.reshape(-1)
+        )
+        return d
+
+    # -- advection (adv.cc:288-397, 217-258) ----------------------------
+    def advection_rhs(self, c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_old_old):
+        """Returns (rhs, evaluated_convection (E, dim, n_q))."""
+        cc = self._gather_ls(c)
+        co = self._gather_ls(c_old)
+        coo = self._gather_ls(c_old_old)
+        c_val = self.ev_ls.values(cc)
+        c_grad = self.ev_ls.gradients(cc)
+        co_val = self.ev_ls.values(co)
+        coo_val = self.ev_ls.values(coo)
+        uc = jnp.transpose(u[:, self.cd_u], (1, 0, 2))
+        u_val = self.ev_u_lsq.values(uc)  # (E, dim, n_q)
+
+        old_value = tw.weight_old * co_val
+        if bdf2_old_old:
+            old_value = old_value + tw.weight_old_old * coo_val
+        residual = -(
+            c_val * tw.weight
+            + jnp.einsum("edq,edq->eq", u_val, c_grad)
+            + old_value
+        )
+        rhs = self._scatter_ls(self.ev_ls.integrate_values(residual), self.con_ls)
+        return rhs, u_val
+
+    def advection_vmult(self, dc, evaluated_convection, tw, mass_diag):
+        """(v, w dc + u* . grad dc); constrained rows get the mass diagonal
+        (adv.cc:476-479)."""
+        cc = self._gather_ls(dc, self.con_ls)
+        val = self.ev_ls.values(cc)
+        grad = self.ev_ls.gradients(cc)
+        res = val * tw.weight + jnp.einsum("edq,edq->eq", evaluated_convection, grad)
+        out = self._scatter_ls(self.ev_ls.integrate_values(res), self.con_ls)
+        cd = self.con_ls.constrained_dofs
+        if len(cd):
+            out = out.at[cd].set(mass_diag[cd] * dc[cd])
+        return out
+
+    # -- normal (normal.cc:82-156, 207-278) ------------------------------
+    def normal_rhs(self, c):
+        cc = self._gather_ls(c)
+        grad = self.ev_ls.gradients(cc)  # (E, dim, n_q)
+        r = self.ev_ls.integrate_values(grad)  # batch over (E, dim)
+        return self._scatter_nrm(r, self.con_nrm)
+
+    def projection_vmult_block(self, nv):
+        """Projection operator applied to a (dim, n) block field."""
+        cc = self._gather_nrm(nv, self.con_nrm)
+        val = self.ev_ls.values(cc)
+        grad = self.ev_ls.gradients(cc)
+        r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
+            grad * self.projection_damping
+        )
+        out = self._scatter_nrm(r, self.con_nrm)
+        cd = self.con_nrm.constrained_dofs
+        if len(cd):
+            out = out.at[:, cd].set(nv[:, cd])
+        return out
+
+    def projection_vmult_scalar(self, kappa):
+        cc = self._gather_ls(kappa, self.con_curv)
+        val = self.ev_ls.values(cc)
+        grad = self.ev_ls.gradients(cc)
+        r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
+            grad * self.projection_damping
+        )
+        out = self._scatter_ls(r, self.con_curv)
+        cd = self.con_curv.constrained_dofs
+        if len(cd):
+            out = out.at[cd].set(kappa[cd])
+        return out
+
+    # -- curvature (curv.cc:212-259) -------------------------------------
+    def curvature_rhs(self, normal_field):
+        """(v, -div(n/|n|)) with normalization at dof level
+        (curv.cc:212-259: values >= 1e-2 in norm -> unit, else 0)."""
+        nc = self._gather_nrm(normal_field)  # (E, dim, n_loc) plain read
+        norm = jnp.sqrt(jnp.sum(nc * nc, axis=1, keepdims=True))
+        nc = jnp.where(norm > 1e-2, nc / jnp.maximum(norm, 1e-30), 0.0)
+        grad = self.ev_ls.gradients(nc)  # (E, dim, dim, n_q)
+        div = jnp.trace(grad, axis1=1, axis2=2)
+        return self._scatter_ls(self.ev_ls.integrate_values(-div), self.con_curv)
+
+    # -- reinitialization (reinit.cc:53-189) ------------------------------
+    def reinit_rhs(self, c, normal_field, first_step: bool, evaluated_normal, diffuse_only: bool):
+        """Returns (rhs, evaluated_normal). evaluated_normal (E, dim, n_q) is
+        refreshed when first_step."""
+        cc = self._gather_ls(c)
+        val = self.ev_ls.values(cc)
+        grad = self.ev_ls.gradients(cc)
+        diffusion = self.reinit_diffusion
+        if diffuse_only:
+            g = -diffusion * grad
+            r = self.ev_ls.integrate_gradients(g)
+            return self._scatter_ls(r, self.con_ls), evaluated_normal
+        if first_step:
+            nc = self._gather_nrm(normal_field)
+            n_val = self.ev_ls.values(nc)
+            nn = jnp.sqrt(jnp.sum(n_val * n_val, axis=1, keepdims=True))
+            evaluated_normal = n_val / jnp.maximum(nn, 1e-4)
+        n = evaluated_normal
+        ngrad = jnp.einsum("edq,edq->eq", n, grad)
+        coef = 0.5 * (1.0 - val * val) - ngrad * diffusion
+        g = n * coef[:, None, :]
+        r = self.ev_ls.integrate_gradients(g)
+        return self._scatter_ls(r, self.con_ls), evaluated_normal
+
+    def reinit_vmult(self, dc, evaluated_normal, dtau_inv, diffuse_only: bool, mass_diag):
+        cc = self._gather_ls(dc, self.con_ls)
+        val = self.ev_ls.values(cc)
+        grad = self.ev_ls.gradients(cc)
+        diffusion = self.reinit_diffusion
+        if diffuse_only:
+            g = grad * diffusion
+        else:
+            n = evaluated_normal
+            ngrad = jnp.einsum("edq,edq->eq", n, grad)
+            g = diffusion * n * ngrad[:, None, :]
+        r = self.ev_ls.integrate_values(dtau_inv * val) + self.ev_ls.integrate_gradients(g)
+        out = self._scatter_ls(r, self.con_ls)
+        cd = self.con_ls.constrained_dofs
+        if len(cd):
+            out = out.at[cd].set(mass_diag[cd] * dc[cd])
+        return out
+
+    # -- surface tension force + variable coefficients (okz.cc:317-432) ---
+    def compute_force(self, heaviside, curvature):
+        """Returns (user_rhs_u (dim, n_u), rho_q (E, n_q_ns), mu_q) evaluated
+        at the NS quadrature."""
+        par = self.parameters
+        hv = heaviside[self.cd_ls]  # plain read
+        kv = curvature[self.cd_ls]
+        h_val = self.ev_ls_nsq.values(hv)
+        kappa = self.ev_ls_nsq.values(kv)
+
+        use_var = par.density_diff != 0 or par.viscosity_diff != 0
+        rho_q = mu_q = None
+        if use_var:
+            rho_q = par.density + par.density_diff * h_val
+            mu_q = par.viscosity + par.viscosity_diff * h_val
+
+        if par.interpolate_grad_onto_pressure:
+            hp = jnp.einsum("ij,ej->ei", self.interp_ls_to_p, hv)
+            grad_h = self.ev_p_nsq.gradients(hp)
+        else:
+            grad_h = self.ev_ls_nsq.gradients(hv)
+
+        force = (par.surface_tension * kappa)[:, None, :] * grad_h
+        rho_for_g = rho_q if use_var else par.density
+        gravity_term = par.gravity * rho_for_g
+        force = force.at[:, self.dim - 1, :].add(-gravity_term)
+
+        r = self.ev_u_nsq.integrate_values(force)  # (E, dim, n_loc_u)
+        n = self.u_space.n_dofs_padded
+        flat = self.cd_u.reshape(-1)
+        rows = []
+        for d in range(self.dim):
+            rows.append(
+                jnp.zeros(n).at[flat].add(r[:, d, :].reshape(-1))
+            )
+        return jnp.stack(rows), rho_q, mu_q

@@ -47,6 +47,8 @@ class CellEvaluator:
         self.n_1d = basis.n_dofs
         if isinstance(quad_points_1d, (int, np.integer)):
             q, w = gauss_quadrature(int(quad_points_1d))
+        elif isinstance(quad_points_1d, tuple):
+            q, w = quad_points_1d  # explicit (points, weights) on [0, 1]
         else:
             raise TypeError(quad_points_1d)
         V, D = basis.tabulate(q)

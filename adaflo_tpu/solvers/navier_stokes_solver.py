@@ -422,7 +422,7 @@ class NavierStokes(FlowBaseAlgorithm):
         res = float(np.sqrt(res_u**2 + res_p**2))
         v = par.output_verbosity
         if v == 1:
-            self._p(f"[{res:g}", end="")
+            self._p(f"[{fmt_g(res)}", end="")
         elif v == 2:
             self._p(f"   {res:<12.3e} ", end="")
         elif v == 3:
@@ -455,7 +455,7 @@ class NavierStokes(FlowBaseAlgorithm):
         )
         v = self.parameters.output_verbosity
         if v == 1:
-            self._p("/", end="")
+            self._p("/Cheb", end="")
         elif v >= 2:
             self._p("    Cheb    ", end="")
 
@@ -571,7 +571,7 @@ class NavierStokes(FlowBaseAlgorithm):
             step += 1
             if not coupled:
                 if v == 1:
-                    self._p(f"[{lin_res:g}/conv.]")
+                    self._p(f"[{fmt_g(lin_res)}/conv.]")
                 elif v >= 2:
                     self._p("")
                 break
@@ -636,6 +636,31 @@ class NavierStokes(FlowBaseAlgorithm):
                     )
             self.solution[1] = jnp.asarray(p)
         return (step, n_tot_iterations)
+
+    # ------------------------------------------------------------------
+    def compute_initial_stokes_field(self) -> None:
+        """Divergence-free initial velocity via a Stokes solve when the
+        boundary conditions are inconsistent with u = 0
+        (navier_stokes.cc:1162-1210)."""
+        self.apply_boundary_conditions()
+        if float(jnp.linalg.norm(self.solution[0])) == 0:
+            return
+        par = self.parameters
+        saved_type, saved_density = par.physical_type, par.density
+        par.physical_type = PhysicalType.stokes
+        par.density = 0.0
+        saved_coeffs = self.coefficients
+        self.coefficients = Coefficients()
+        self._build_jitted()
+        self.update_preconditioner = True
+        if par.output_verbosity > 0:
+            self._p("  Compute initial velocity field with Stokes")
+        res = self.compute_initial_residual()
+        self.solve_nonlinear_system(res)
+        par.physical_type, par.density = saved_type, saved_density
+        self.coefficients = saved_coeffs
+        self._build_jitted()
+        self.update_preconditioner = True
 
     # ------------------------------------------------------------------
     def _apply_pressure_fix_shift(self) -> None:

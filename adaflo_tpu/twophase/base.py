@@ -1,0 +1,395 @@
+"""Shared two-phase infrastructure.
+
+TPU-native counterpart of the reference's TwoPhaseBaseAlgorithm
+(/root/reference/source/two_phase_base.cc): owns the Navier-Stokes solver and
+the FE_Q_iso_Q1 concentration space, concentration extrapolation, adaptive
+time step from the CFL + capillary limit (cc:596-617), maximal velocity /
+concentration range diagnostics, and the 2D bubble statistics with explicit
+zero-contour reconstruction (cc:621-968).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.fe.basis import equidistant_points
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.ops.tensor import CellEvaluator
+from adaflo_tpu.parameters import FlowParameters
+from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes, fmt_g
+
+
+class TwoPhaseBaseAlgorithm:
+    def __init__(
+        self,
+        parameters: FlowParameters,
+        mesh: StructuredMesh,
+        concentration_support: str = "iso_q1",
+        out=None,
+    ) -> None:
+        self.parameters = parameters
+        self.mesh = mesh
+        self.out = out
+        self.navier_stokes = NavierStokes(parameters, mesh, out=out)
+        self.boundary = self.navier_stokes.boundary
+        self.time_stepping = self.navier_stokes.time_stepping
+        self.concentration_support = concentration_support
+        self.curvature_name = "curvature"
+        self.last_concentration_range = (-1.0, 1.0)
+        self.global_omega_diameter = 0.0
+
+    # -- BC setter API delegated to the NS solver -----------------------
+    def __getattr__(self, name):
+        if name.startswith("set_") or name == "fix_pressure_constant":
+            return getattr(self.navier_stokes, name)
+        raise AttributeError(name)
+
+    def _p(self, *a, **k):
+        print(*a, **k, file=self.out or sys.stdout)
+
+    # ------------------------------------------------------------------
+    def setup_problem(self, initial_velocity_fn, initial_distance_fn) -> None:
+        par = self.parameters
+        mesh = self.mesh
+        self.global_omega_diameter = float(np.linalg.norm(mesh.lengths))
+        if par.global_refinements < 15:
+            mesh.refine_global(par.global_refinements)
+
+        # the NS solver must not refine again
+        saved = par.global_refinements
+        par.global_refinements = 0
+        self.navier_stokes.setup_problem(initial_velocity_fn)
+        par.global_refinements = saved
+
+        self.ls_space = ScalarSpace(
+            mesh, par.concentration_subdivisions, self.concentration_support
+        )
+        self._build_ls_constraints()
+        self.print_n_dofs()
+
+        # epsilon for interface smoothing (two_phase_base.cc:280-291)
+        self.cell_diameter = float(np.max(mesh.h))
+        self.minimal_edge_length = float(np.min(mesh.h))
+        self._p(
+            " Mesh size (largest/smallest element length at finest level): "
+            f"{fmt_g(self.cell_diameter)} / {fmt_g(self.minimal_edge_length)}"
+        )
+        self.epsilon_used = (
+            par.epsilon / par.concentration_subdivisions * self.cell_diameter
+        )
+
+        n = self.ls_space.n_dofs_padded
+        self.solution = [jnp.zeros(n), jnp.zeros(n)]  # (concentration, curvature)
+        self.solution_old = [jnp.zeros(n), jnp.zeros(n)]
+        self.solution_old_old = [jnp.zeros(n), jnp.zeros(n)]
+        self.heaviside = jnp.zeros(n)
+        self.normal_vector_field = jnp.zeros((mesh.dim, n))
+
+        self.initialize_data_structures()
+
+        # initial distance -> tanh profile
+        dist = np.asarray(initial_distance_fn(self.ls_space.node_coords, 0.0))
+        c0 = jnp.zeros(n).at[: len(dist)].set(jnp.asarray(dist))
+        c0 = self.transform_distance_function(c0)
+        self.solution[0] = c0
+
+        # divergence-free initial velocity if starting from zero
+        if float(jnp.linalg.norm(self.navier_stokes.solution[0])) == 0:
+            self.navier_stokes.compute_initial_stokes_field()
+
+    def _build_ls_constraints(self) -> None:
+        """Concentration constraints: inflow (fluid-type) Dirichlet; normals
+        and curvature spaces are unconstrained on uniform meshes."""
+        n = self.ls_space.n_dofs
+        con = Constraints(n)
+        for bid in self.boundary.fluid_type:
+            con.add_dirichlet(self.ls_space.boundary_dofs(bid))
+        con.close()
+        self.constraints_ls = con
+        cn = Constraints(n)
+        cn.close()
+        self.constraints_normals = cn
+        ck = Constraints(n)
+        ck.close()
+        self.constraints_curvature = ck
+
+    def initialize_data_structures(self) -> None:
+        """Overridden by concrete solvers (OKZ adds preconditioners)."""
+
+    def transform_distance_function(self, vector):
+        raise NotImplementedError
+
+    def print_n_dofs(self) -> None:
+        ns = self.navier_stokes
+        nu, npp = ns.n_dofs
+        self._p("")
+        self._p(f" Number of active cells: {self.mesh.n_cells}.")
+        self._p(
+            f" Number of Navier-Stokes degrees of freedom: "
+            f"{nu + npp} ({nu} + {npp})."
+        )
+        self._p(
+            f" Number of level set degrees of freedom: {self.ls_space.n_dofs}."
+        )
+
+    # ------------------------------------------------------------------
+    def init_time_advance(self) -> None:
+        """NS extrapolation + concentration extrapolation with step-size
+        ratios (two_phase_base.cc:441-475)."""
+        self.navier_stokes.init_time_advance(self.parameters.output_verbosity > 0)
+        ts = self.time_stepping
+        k, ko = ts.step_size(), ts.old_step_size()
+        sol, old = self.solution, self.solution_old
+        if ko > 0:
+            a, b = (k + ko) / ko, -k / ko
+            upd = [a * s + b * o for s, o in zip(sol, old)]
+        else:
+            upd = list(sol)
+        self.solution_old_old = list(old)
+        self.solution_old = list(sol)
+        self.solution = upd
+
+        if self.parameters.output_verbosity == 0:
+            ts_ = self.time_stepping
+            freq = self.parameters.output_frequency
+            time = ts_.now()
+            position = int(time * 1.0000000001 / freq)
+            slot = position * freq
+            if (time - slot) < ts_.step_size() * 0.95:
+                self._p(f"{fmt_g(time)} ", end="", flush=True)
+
+    # ------------------------------------------------------------------
+    def get_maximal_velocity(self) -> float:
+        """Max |u| over an equidistant point lattice per cell
+        (two_phase_base.cc:479-509)."""
+        ns = self.navier_stokes
+        pts = equidistant_points(self.parameters.velocity_degree + 2)
+        ev = CellEvaluator(
+            self.mesh.dim, ns.u_space.basis, (pts, np.zeros_like(pts)), self.mesh.h
+        )
+        u = np.asarray(ns.solution[0])
+        cells = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
+        vals = np.asarray(ev.values(cells))
+        return float(np.sqrt((vals**2).sum(axis=1)).max())
+
+    def get_concentration_range(self) -> tuple[float, float]:
+        """Range over an equidistant lattice (two_phase_base.cc:513-545)."""
+        pts = equidistant_points(self.ls_space.degree + 3)
+        ev = CellEvaluator(
+            self.mesh.dim, self.ls_space.basis, (pts, np.zeros_like(pts)), self.mesh.h
+        )
+        c = np.asarray(self.solution[0])
+        vals = np.asarray(ev.values(jnp.asarray(c[self.ls_space.cell_dofs])))
+        self.last_concentration_range = (float(vals.min()), float(vals.max()))
+        return self.last_concentration_range
+
+    def set_adaptive_time_step(self, norm_velocity: float) -> None:
+        """CFL + capillary limit (two_phase_base.cc:596-617; note the
+        reference uses the viscosity pair in the capillary term)."""
+        par = self.parameters
+        cfl = par.time_stepping_cfl
+        rho_2 = par.viscosity_diff + par.viscosity
+        coef_2 = par.time_stepping_coef2
+        sigma = par.surface_tension
+        h = self.minimal_edge_length
+        denom = 1.0 / (cfl * h / max(norm_velocity, 1e-300)) + 1.0 / (
+            coef_2 * np.sqrt(rho_2 / sigma) * h**1.5
+        )
+        self.time_stepping.set_desired_time_step(1.0 / denom)
+
+    # ------------------------------------------------------------------
+    def compute_bubble_statistics(
+        self, sub_refinements: Optional[int] = None
+    ) -> list[float]:
+        """2D bubble diagnostics with explicit sub-cell interface
+        reconstruction (two_phase_base.cc:621-968): area, perimeter,
+        circularity, mean velocity, center of mass; also sets the adaptive
+        time step and prints the diagnostics block."""
+        assert self.mesh.dim == 2, "3D bubble statistics not yet implemented"
+        par = self.parameters
+        ns = self.navier_stokes
+        sub = (
+            par.velocity_degree + 3 if sub_refinements in (None, 0) else sub_refinements
+        ) or par.velocity_degree + 3
+
+        # evaluate c and u on the (sub+1)^2 equidistant lattice of every cell
+        pts = equidistant_points(sub + 1)
+        ev_c = CellEvaluator(
+            2, self.ls_space.basis, (pts, np.zeros_like(pts)), self.mesh.h
+        )
+        ev_u = CellEvaluator(2, ns.u_space.basis, (pts, np.zeros_like(pts)), self.mesh.h)
+        c = np.asarray(self.solution[0])
+        u = np.asarray(ns.solution[0])
+        c_vals = np.asarray(
+            ev_c.values(jnp.asarray(c[self.ls_space.cell_dofs]))
+        )  # (E, (sub+1)^2)
+        u_cells = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
+        u_vals = np.asarray(ev_u.values(u_cells))  # (E, 2, (sub+1)^2)
+        qc = ev_c.quad_coords(self.mesh)  # (E, (sub+1)^2, 2)
+
+        # interface cells: sign change among concentration dofs
+        c_dof_vals = c[self.ls_space.cell_dofs]
+        crosses = (c_dof_vals * c_dof_vals[:, :1] <= 0).any(axis=1)
+
+        area = 0.0
+        perimeter = 0.0
+        com = np.zeros(2)
+        vel = np.zeros(2)
+
+        # -- interior cells: plain Gauss quadrature ----------------------
+        inside = (~crosses) & (c_dof_vals[:, 0] > 0)
+        if inside.any():
+            evg = CellEvaluator(2, ns.u_space.basis, par.velocity_degree, self.mesh.h)
+            qg = evg.quad_coords(self.mesh)[inside]
+            ug = np.asarray(ev_values(evg, u, ns.u_space, inside))
+            jxw = np.asarray(evg.jxw)
+            area += jxw.sum() * inside.sum()
+            com += np.einsum("eqd,q->d", qg, jxw)
+            vel += np.einsum("edq,q->d", ug, jxw)
+
+        # -- interface cells: subdivided patches -------------------------
+        idx = np.flatnonzero(crosses)
+        if len(idx):
+            n1 = sub + 1
+            cv = c_vals[idx].reshape(-1, n1, n1) + 1e-22
+            uv = u_vals[idx].reshape(-1, 2, n1, n1)
+            qq = qc[idx].reshape(-1, n1, n1, 2)
+            subcell_area = float(np.prod(self.mesh.h)) / (sub * sub)
+            w4 = subcell_area / 4.0
+
+            # corners of each subcell: [y, x] patches
+            c00 = cv[:, :-1, :-1].reshape(-1)
+            c01 = cv[:, :-1, 1:].reshape(-1)
+            c10 = cv[:, 1:, :-1].reshape(-1)
+            c11 = cv[:, 1:, 1:].reshape(-1)
+            p00 = qq[:, :-1, :-1, :].reshape(-1, 2)
+            p01 = qq[:, :-1, 1:, :].reshape(-1, 2)
+            p10 = qq[:, 1:, :-1, :].reshape(-1, 2)
+            p11 = qq[:, 1:, 1:, :].reshape(-1, 2)
+            v00 = uv[:, :, :-1, :-1].reshape(len(idx), 2, -1)
+            v01 = uv[:, :, :-1, 1:].reshape(len(idx), 2, -1)
+            v10 = uv[:, :, 1:, :-1].reshape(len(idx), 2, -1)
+            v11 = uv[:, :, 1:, 1:].reshape(len(idx), 2, -1)
+            v00 = np.moveaxis(v00, 1, 2).reshape(-1, 2)
+            v01 = np.moveaxis(v01, 1, 2).reshape(-1, 2)
+            v10 = np.moveaxis(v10, 1, 2).reshape(-1, 2)
+            v11 = np.moveaxis(v11, 1, 2).reshape(-1, 2)
+
+            a_frac, per = _patch_area_perimeter(c00, c01, c10, c11, p00, p01, p10, p11)
+            perimeter += per.sum()
+            w = a_frac[:, None] * w4
+            area += 4.0 * (a_frac * w4).sum()
+            com += (w * (p00 + p01 + p10 + p11)).sum(axis=0)
+            vel += (w * (v00 + v01 + v10 + v11)).sum(axis=0)
+
+        norm_v = np.linalg.norm(vel)
+        self.set_adaptive_time_step(norm_v / area)
+        circularity = 2.0 * np.sqrt(area * np.pi) / perimeter if perimeter > 0 else 0.0
+
+        if par.output_verbosity > 0:
+            self._p(f"  Degree of circularity: {fmt8(circularity)}")
+            vstr = "  ".join(
+                fmt8(0.0 if abs(vel[d]) < 1e-7 * norm_v else vel[d] / area)
+                for d in range(2)
+            )
+            self._p(f"  Mean bubble velocity: {vstr}  ")
+            cstr = "  ".join(
+                fmt8(
+                    0.0
+                    if abs(com[d]) < 1e-7 * self.global_omega_diameter
+                    else com[d] / area
+                )
+                for d in range(2)
+            )
+            self._p(f"  Position of the center of mass:  {cstr}  ")
+            lo, hi = self.get_concentration_range()
+            self._p(f"  Range of level set values: {fmt8(lo)} / {fmt8(hi)}")
+
+        data = [self.time_stepping.now(), area, perimeter, circularity]
+        data += [vel[d] / area for d in range(2)]
+        data += [com[d] / area for d in range(2)]
+        return data
+
+    def refine_grid(self) -> None:
+        """AMR hook; no-op on uniform meshes (adaptive refinements land with
+        the forest mesh)."""
+
+
+def ev_values(ev: CellEvaluator, u: np.ndarray, space, mask):
+    cells = np.transpose(u[:, space.cell_dofs[mask]], (1, 0, 2))
+    return ev.values(jnp.asarray(cells))
+
+
+def _patch_area_perimeter(c0, c1, c2, c3, p0, p1, p2, p3):
+    """Vectorized port of the reference's per-patch interface logic
+    (two_phase_base.cc:735-845): corners ordered (x0y0, x1y0, x0y1, x1y1);
+    returns (area fraction in the positive phase, interface length)."""
+    n = len(c0)
+    local_area = np.ones(n)
+    per = np.zeros(n)
+
+    def crossing(a, b):
+        has = a * b <= 0
+        r = np.where(has, a / np.where(has, a - b, 1.0), -1.0)
+        return r
+
+    rx0 = crossing(c0, c1)
+    rx1 = crossing(c2, c3)
+    ry0 = crossing(c0, c2)
+    ry1 = crossing(c1, c3)
+    pos_x0 = p0 + (p1 - p0) * rx0[:, None]
+    pos_x1 = p2 + (p3 - p2) * rx1[:, None]
+    pos_y0 = p0 + (p2 - p0) * ry0[:, None]
+    pos_y1 = p1 + (p3 - p1) * ry1[:, None]
+
+    def seg(a, b):
+        return np.linalg.norm(a - b, axis=1)
+
+    m = (rx0 > 0) & (ry0 > 0)
+    my_area = 0.5 * rx0 * ry0
+    local_area -= np.where(m, np.where(c0 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_x0, pos_y0), 0.0)
+
+    m = (rx0 > 0) & (ry1 > 0)
+    my_area = 0.5 * (1 - rx0) * ry1
+    local_area -= np.where(m, np.where(c1 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_x0, pos_y1), 0.0)
+
+    m = (rx0 > 0) & (rx1 > 0) & (ry0 < 0) & (ry1 < 0)
+    my_area = 0.5 * (rx0 + rx1)
+    local_area -= np.where(m, np.where(c0 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_x0, pos_x1), 0.0)
+
+    m = (rx1 > 0) & (ry0 > 0)
+    my_area = 0.5 * rx1 * (1 - ry0)
+    local_area -= np.where(m, np.where(c2 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_x1, pos_y0), 0.0)
+
+    m = (rx1 > 0) & (ry1 > 0)
+    my_area = 0.5 * (1 - rx1) * (1 - ry1)
+    local_area -= np.where(m, np.where(c3 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_x1, pos_y1), 0.0)
+
+    m = (ry0 > 0) & (ry1 > 0) & (rx0 < 0) & (rx1 < 0)
+    my_area = 0.5 * (ry0 + ry1)
+    local_area -= np.where(m, np.where(c0 < 0, my_area, 1 - my_area), 0.0)
+    per += np.where(m, seg(pos_y0, pos_y1), 0.0)
+
+    none = (rx0 <= 0) & (rx1 <= 0) & (ry0 <= 0) & (ry1 <= 0) & (c0 <= 0)
+    local_area = np.where(none, 0.0, local_area)
+    return local_area, per
+
+
+def fmt8(x: float) -> str:
+    """C++ ostream precision(8) general format."""
+    s = f"{x:.8g}"
+    if "e" in s:
+        mant, ex = s.split("e")
+        return f"{mant}e{int(ex):+03d}"
+    return s

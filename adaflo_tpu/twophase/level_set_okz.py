@@ -1,0 +1,399 @@
+"""Matrix-free conservative level-set (Olsson-Kreiss-Zahedi) solver.
+
+TPU-native counterpart of the reference's LevelSetOKZSolver +
+LevelSetBaseAlgorithm (/root/reference/source/level_set_okz.cc,
+level_set_base.cc): composes the four OKZ operators, the tanh distance
+transform, the discrete (Peskin) heaviside, the surface-tension force into
+navier_stokes.user_rhs, and the time-step orchestration
+advance_concentration -> reinitialize -> compute_force -> NS solve with the
+excessive-residual detector (level_set_base.cc:260-278).
+
+The reference's assembled Trilinos projection matrix + ILU is replaced by
+matrix-free CG with Chebyshev/Jacobi on the same damped-Helmholtz operator;
+every solve is one jitted XLA program.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.ops.level_set import LevelSetOperators
+from adaflo_tpu.ops.navier_stokes import Coefficients, TimeWeights
+from adaflo_tpu.parameters import FlowParameters, Scheme
+from adaflo_tpu.solvers.krylov import bicgstab, cg, gmres
+from adaflo_tpu.solvers.preconditioner import (
+    ChebyshevPreconditioner,
+    DiagonalPreconditioner,
+    estimate_lambda_max,
+)
+from adaflo_tpu.twophase.base import TwoPhaseBaseAlgorithm
+
+
+class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
+    def __init__(self, parameters: FlowParameters, mesh, out=None) -> None:
+        super().__init__(parameters, mesh, "iso_q1", out=out)
+        self.last_smoothing_step = 0
+        self.last_refine_step = 0
+        self.old_residual = 1e30
+        self.first_advance = True
+
+    # ------------------------------------------------------------------
+    def transform_distance_function(self, vector):
+        """phi = -tanh(d / (2 eps)) (level_set_okz.cc:201-210)."""
+        return -jnp.tanh(vector / (2.0 * self.epsilon_used))
+
+    # ------------------------------------------------------------------
+    def initialize_data_structures(self) -> None:
+        par = self.parameters
+        self.ops = LevelSetOperators(
+            par,
+            self.ls_space,
+            self.navier_stokes.u_space,
+            self.navier_stokes.p_space,
+            self.constraints_ls,
+            self.constraints_normals,
+            self.constraints_curvature,
+            self.epsilon_used,
+            self.cell_diameter,
+            self.minimal_edge_length,
+        )
+        ops = self.ops
+        self.mass_diag = ops.lumped_mass()
+        self.inv_mass_diag = DiagonalPreconditioner(self.mass_diag).inverse
+        self.proj_diag = ops.projection_diagonal()
+        projA = lambda nv: ops.projection_vmult_block(nv)
+        dinv = DiagonalPreconditioner(
+            jnp.broadcast_to(self.proj_diag, (self.mesh.dim,) + self.proj_diag.shape)
+        ).inverse
+        self.proj_lambda = estimate_lambda_max(
+            projA, dinv, jnp.zeros((self.mesh.dim, len(self.proj_diag)))
+        )
+        self._build_jitted_ls()
+        self.evaluated_normal_q = jnp.zeros(
+            (self.mesh.n_cells, self.mesh.dim, ops.n_q)
+        )
+
+    # ------------------------------------------------------------------
+    def _build_jitted_ls(self) -> None:
+        ops = self.ops
+        par = self.parameters
+        dim = self.mesh.dim
+
+        @jax.jit
+        def advect_fn(c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_flag, abs_tol):
+            rhs, conv = ops.advection_rhs(
+                c, c_old, c_old_old, u, u_old, u_old_old, tw, True
+            )
+            A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag)
+            M = lambda r: self.inv_mass_diag * r
+            res = bicgstab(A, rhs, jnp.zeros_like(rhs), abs_tol, 30, M=M)
+            rhs_norm = jnp.sqrt(jnp.vdot(rhs, rhs).real)
+
+            def fallback(_):
+                r2 = gmres(A, rhs, jnp.zeros_like(rhs), abs_tol, 300, 50, M=M)
+                return r2.x, res.iterations + r2.iterations
+
+            def keep(_):
+                return res.x, res.iterations
+
+            inc, iters = jax.lax.cond(res.converged, keep, fallback, None)
+            return inc, iters, rhs_norm
+
+        self._advect_fn = advect_fn
+
+        def make_proj_cheb():
+            return ChebyshevPreconditioner(
+                lambda nv: ops.projection_vmult_block(nv),
+                jnp.broadcast_to(self.proj_diag, (dim,) + self.proj_diag.shape),
+                self.proj_lambda,
+                degree=5,
+            )
+
+        @jax.jit
+        def normal_fn(c, nv0, reduction):
+            rhs = ops.normal_rhs(c)
+            A = lambda nv: ops.projection_vmult_block(nv)
+            cheb = make_proj_cheb()
+            res = cg(
+                A,
+                rhs,
+                jnp.zeros_like(rhs),
+                jnp.float64(1e-50),
+                400,
+                M=cheb,
+                reduction=reduction,
+            )
+            return res.x, res.iterations
+
+        self._normal_fn = normal_fn
+
+        @jax.jit
+        def curvature_fn(nv):
+            rhs = ops.curvature_rhs(nv)
+            A = lambda k: ops.projection_vmult_scalar(k)
+            cheb = ChebyshevPreconditioner(
+                A, self.proj_diag, self.proj_lambda, degree=5
+            )
+            res = cg(
+                A,
+                rhs,
+                jnp.zeros_like(rhs),
+                jnp.float64(1e-50),
+                400,
+                M=cheb,
+                reduction=1e-8,
+            )
+            return res.x, res.iterations
+
+        self._curvature_fn = curvature_fn
+
+        def reinit_step(c, nv, first_step, evaluated_normal, dtau_inv, diffuse_only):
+            rhs, evaluated_normal = ops.reinit_rhs(
+                c, nv, first_step, evaluated_normal, diffuse_only
+            )
+            A = lambda x: ops.reinit_vmult(
+                x, evaluated_normal, dtau_inv, diffuse_only, self.mass_diag
+            )
+            M = lambda r: self.inv_mass_diag * r
+            res = cg(
+                A, rhs, jnp.zeros_like(rhs), jnp.float64(1e-50), 600,
+                M=M, reduction=1e-6,
+            )
+            inc = self.constraints_ls.distribute(res.x)
+            return c + inc, evaluated_normal, res.iterations, jnp.sqrt(
+                jnp.vdot(inc, inc).real
+            )
+
+        self._reinit_step_fn = jax.jit(
+            reinit_step, static_argnames=("first_step", "diffuse_only")
+        )
+
+        @jax.jit
+        def force_fn(heaviside, curvature):
+            return ops.compute_force(heaviside, curvature)
+
+        self._force_fn = force_fn
+
+        @jax.jit
+        def heaviside_fn(c):
+            """Log-transform of the tanh profile + Peskin discrete heaviside,
+            constant far field (level_set_okz.cc:479-540); the reference
+            applies it per cell — values are nodal so a dof-wise transform
+            plus the far-field flood matches on contiguous data."""
+            cutoff = np.tanh(2.0)
+            eps = 1e-12
+            c_cl = jnp.clip(c, -1 + eps, 1 - eps)
+            distance = jnp.where(
+                c < -cutoff,
+                -3.0,
+                jnp.where(c > cutoff, 3.0, jnp.log((1 + c_cl) / (1 - c_cl))),
+            )
+            distance = distance * (
+                par.epsilon * 2.0 / par.concentration_subdivisions
+            )
+            return _discrete_heaviside(distance)
+
+        self._heaviside_fn = heaviside_fn
+
+    # -- operations ------------------------------------------------------
+    def advance_concentration(self) -> None:
+        ns = self.navier_stokes
+        ts = self.time_stepping
+        tw = TimeWeights.from_time_stepping(ts)
+        bdf2_flag = ts.scheme() == Scheme.bdf_2 and ts.step_no() > 1
+        # inflow Dirichlet values (fluid_type boundaries)
+        if self.boundary.fluid_type:
+            c = np.asarray(self.solution[0]).copy()
+            for bid, fn in self.boundary.fluid_type.items():
+                dofs = self.ls_space.boundary_dofs(bid)
+                if len(dofs):
+                    c[dofs] = np.asarray(
+                        fn(self.ls_space.node_coords[dofs], ts.now())
+                    )
+            self.solution[0] = jnp.asarray(c)
+        abs_tol = jnp.float64(0.05 * self.parameters.tol_nl_iteration)
+        inc, iters, rhs_norm = self._advect_fn(
+            self.solution[0],
+            self.solution_old[0],
+            self.solution_old_old[0],
+            ns.solution[0],
+            ns.solution_old[0],
+            ns.solution_old_old[0],
+            tw,
+            bdf2_flag,
+            abs_tol,
+        )
+        inc = self.constraints_ls.distribute(inc)
+        self.solution[0] = self.solution[0] + inc
+        if not self.parameters.do_iteration and self.parameters.output_verbosity > 0:
+            self._p(
+                f"  Concentration advance: advect [{fmtg3(float(rhs_norm))}"
+                f"/{int(iters)}]",
+                end="",
+            )
+
+    def compute_normal(self, fast: bool) -> None:
+        reduction = 1e-5 if fast else 1e-7
+        nv, _ = self._normal_fn(
+            self.solution[0], self.normal_vector_field, jnp.float64(reduction)
+        )
+        self.normal_vector_field = nv
+
+    def compute_curvature(self) -> None:
+        self.compute_normal(False)
+        kappa, _ = self._curvature_fn(self.normal_vector_field)
+        if self.parameters.curvature_correction:
+            kappa = self._curvature_correction(kappa)
+        self.solution[1] = kappa
+
+    def _curvature_correction(self, kappa):
+        """kappa -> 1/(1/kappa + d/(dim-1)) away from the interface
+        (curv.cc:361-377)."""
+        c = self.solution[0]
+        eps = self.epsilon_used
+        c2 = 1 - c * c
+        distance = jnp.where(c2 > 1e-2, eps * jnp.log((1 + c) / jnp.maximum(1 - c, 1e-30)), 0.0)
+        corrected = 1.0 / (1.0 / kappa + distance / (self.mesh.dim - 1))
+        return jnp.where(kappa > 1e-4, corrected, kappa)
+
+    def reinitialize(self, stab_steps: int, diff_steps: int = 0) -> None:
+        """OKZ reinitialization driver (reinit.cc:256-363)."""
+        par = self.parameters
+        ts = self.time_stepping
+        sub = par.concentration_subdivisions
+        dtau_inv = max(
+            0.95 / ((1.0 / (self.mesh.dim**2)) * self.minimal_edge_length / sub),
+            1.0 / (5.0 * ts.step_size()),
+        )
+        actual_diff = diff_steps
+        lo, hi = self.last_concentration_range
+        if lo < -1.02 or hi > 1.02:
+            actual_diff += 3
+        verbose = not par.do_iteration and par.output_verbosity > 0
+        if verbose:
+            lead = "  " if ts.now() == ts.start() else " and "
+            self._p(f"{lead}reinitialize (", end="")
+        first = True
+        for tau in range(actual_diff + stab_steps):
+            first_reinit = tau == actual_diff
+            if first_reinit:
+                self.compute_normal(True)
+            diffuse_only = tau < actual_diff
+            c_new, en, iters, update_norm = self._reinit_step_fn(
+                self.solution[0],
+                self.normal_vector_field,
+                first_reinit,
+                self.evaluated_normal_q,
+                jnp.float64(dtau_inv),
+                diffuse_only,
+            )
+            self.evaluated_normal_q = en
+            self.solution[0] = c_new
+            if verbose:
+                tag = f"d{int(iters)}" if diffuse_only else f"{int(iters)}"
+                self._p(("" if first else " + ") + tag, end="")
+            first = False
+            if float(update_norm) < 1e-6:
+                break
+        if verbose:
+            self._p(")")
+
+    def compute_heaviside(self) -> None:
+        self.heaviside = self._heaviside_fn(self.solution[0])
+
+    def compute_force(self) -> None:
+        self.compute_heaviside()
+        self.compute_curvature()
+        ns = self.navier_stokes
+        user_u, rho_q, mu_q = self._force_fn(self.heaviside, self.solution[1])
+        for c in range(self.mesh.dim):
+            user_u = user_u.at[c].set(
+                user_u[c]
+                .at[ns.constraints_u[c].constrained_dofs]
+                .set(0.0)
+                if len(ns.constraints_u[c].constrained_dofs)
+                else user_u[c]
+            )
+        ns.user_rhs[0] = user_u
+        if rho_q is not None:
+            ns.coefficients = Coefficients(rho_q, mu_q, None)
+
+    # ------------------------------------------------------------------
+    def advance_time_step(self):
+        """One two-phase step (level_set_base.cc:188-291)."""
+        self.init_time_advance()
+        self.advance_concentration()
+        self.reinitialize(self.parameters.n_reinit_steps)
+        self.compute_force()
+
+        ns = self.navier_stokes
+        actual_res = ns.compute_initial_residual()
+        ts = self.time_stepping
+        if (
+            ts.step_no() > 3 + self.last_smoothing_step
+            and ts.step_no() > 2 + self.last_refine_step
+            and actual_res >= 2.0 * self.old_residual
+        ):
+            self._p("\n  Correct excessive residual: ", end="")
+            self.reinitialize(self.parameters.n_reinit_steps, 10)
+            self.compute_force()
+            actual_res = ns.compute_initial_residual()
+            self.last_smoothing_step = ts.step_no()
+        self.old_residual = actual_res
+
+        return ns.solve_nonlinear_system(actual_res)
+
+    # ------------------------------------------------------------------
+    def setup_problem(self, initial_velocity_fn, initial_distance_fn) -> None:
+        super().setup_problem(initial_velocity_fn, initial_distance_fn)
+        # initial reinitialization for imperfect profiles + heaviside
+        # (level_set_base.cc:144-154)
+        self.reinitialize(self.parameters.n_initial_reinit_steps)
+        self.compute_heaviside()
+
+    def get_time_stepping(self):
+        return self.time_stepping
+
+    def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
+        """vtk output hook (full writer lands with utils.output)."""
+
+
+def _discrete_heaviside(x):
+    """Integral of Peskin's sqrt-formed discrete delta
+    (level_set_base.h:120-142), vectorized."""
+    ax = -jnp.abs(x)
+    pi = np.pi
+
+    def mid(v):  # -1 <= v <= 0
+        return (
+            1.0 / 8.0 * (3.0 * v + v * v)
+            - 1.0 / 32.0 * (-1.0 - 2.0 * v) * jnp.sqrt(jnp.maximum(1.0 - 4.0 * v - 4.0 * v * v, 0.0))
+            + 1.0 / 16.0 * jnp.arcsin(jnp.clip(np.sqrt(2.0) * (v + 0.5), -1, 1))
+            + 15.0 / 32.0
+            - pi / 64.0
+        )
+
+    def outer(v):  # -2 <= v < -1
+        return (
+            1.0 / 8.0 * (5.0 * v + v * v)
+            + 1.0 / 32.0 * (-3.0 - 2.0 * v) * jnp.sqrt(jnp.maximum(-7.0 - 12.0 * v - 4.0 * v * v, 0.0))
+            - 1.0 / 16.0 * jnp.arcsin(jnp.clip(np.sqrt(2.0) * (v + 1.5), -1, 1))
+            + 23.0 / 32.0
+            - pi / 64.0
+        )
+
+    neg_val = jnp.where(ax < -2.0, 0.0, jnp.where(ax < -1.0, outer(ax), mid(ax)))
+    return jnp.where(x > 0, 1.0 - neg_val, neg_val)
+
+
+def fmtg3(x: float) -> str:
+    s = f"{x:.3g}"
+    if "e" in s:
+        mant, ex = s.split("e")
+        return f"{mant}e{int(ex):+03d}"
+    return s
