@@ -26,8 +26,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from adaflo_tpu.ops.navier_stokes import Coefficients, NavierStokesOperator, TimeWeights
-from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
+from adaflo_tpu.parameters import (
+    FlowParameters,
+    Linearization,
+    PhysicalType,
+    VelocityPreconditioner,
+)
 from adaflo_tpu.solvers.krylov import cg
+from adaflo_tpu.solvers.multigrid import LatticeGMG
 
 
 class DiagonalPreconditioner:
@@ -137,6 +143,8 @@ class PrecState(NamedTuple):
     mass_coefficient: jnp.ndarray  # 1/(mu + tau_gd) or 1
     lin: object  # frozen Linearized state
     coeffs: Coefficients
+    u_gmg: object = None  # tuple of per-component GMGState, or None
+    p_gmg: object = None  # GMGState for the pressure Poisson, or None
 
 
 class NavierStokesPreconditioner:
@@ -155,6 +163,30 @@ class NavierStokesPreconditioner:
         self.constraints_schur = constraints_schur
         self.u_cheb_deg = u_chebyshev_degree
         self.p_cheb_deg = p_chebyshev_degree
+
+        # geometric multigrid on the Q1-subelement lattice replaces the
+        # reference's AMG (selected by 'lin velocity preconditioner = amg*');
+        # 'ilu*' falls back to Chebyshev/Jacobi (closest matrix-free analog)
+        self.use_gmg = parameters.precondition_velocity in (
+            VelocityPreconditioner.u_amg,
+            VelocityPreconditioner.u_amg_linear,
+        )
+        mesh = op.u_space.mesh
+        self.u_gmg_geom = [
+            LatticeGMG(
+                op.u_space.n_nodes_axis,
+                mesh.h / parameters.velocity_degree,
+                op.constraints_u[c].constrained_dofs,
+                op.u_space.n_dofs_padded,
+            )
+            for c in range(op.dim)
+        ] if self.use_gmg else None
+        self.p_gmg_geom = LatticeGMG(
+            op.p_space.n_nodes_axis,
+            mesh.h / max(parameters.pressure_degree, 1),
+            constraints_schur.constrained_dofs,
+            op.p_space.n_dofs_padded,
+        ) if parameters.pressure_degree >= 1 else None
 
     # -- build ----------------------------------------------------------
     def compute(self, tw: TimeWeights, lin, coeffs: Coefficients) -> PrecState:
@@ -195,6 +227,32 @@ class NavierStokesPreconditioner:
         p_lmax = estimate_lambda_max(pA, p_dinv, poisson_diag)
         mass_diag = op.pressure_lumped_mass()
 
+        u_gmg = p_gmg = None
+        if self.use_gmg:
+            deg = par.velocity_degree
+            if coeffs.rho is not None:
+                rho_cell = jnp.mean(coeffs.rho, axis=1)
+                alpha_u = tw.weight * _cells_to_subcells(
+                    rho_cell, op.u_space.mesh.n_cells_axis, deg
+                )
+            else:
+                alpha_u = jnp.float64(tw.weight * par.density)
+            if par.physical_type != PhysicalType.incompressible:
+                alpha_u = 0.0 * alpha_u  # no mass term (stationary / Stokes)
+            if coeffs.mu is not None:
+                mu_cell = jnp.mean(coeffs.mu, axis=1)
+                beta_u = tw.tau1 * _cells_to_subcells(
+                    mu_cell, op.u_space.mesh.n_cells_axis, deg
+                )
+            else:
+                beta_u = jnp.float64(tw.tau1 * par.viscosity)
+            u_gmg = tuple(
+                self.u_gmg_geom[c].compute(alpha_u, beta_u)
+                for c in range(op.dim)
+            )
+        if self.p_gmg_geom is not None:
+            p_gmg = self.p_gmg_geom.compute(jnp.float64(0.0), pdiag_scale)
+
         return PrecState(
             u_diag,
             u_lmax,
@@ -205,6 +263,8 @@ class NavierStokesPreconditioner:
             mass_coefficient,
             lin,
             coeffs,
+            u_gmg,
+            p_gmg,
         )
 
     # -- pieces ---------------------------------------------------------
@@ -227,13 +287,16 @@ class NavierStokesPreconditioner:
             st.coeffs,
             self.constraints_schur,
         )
-        cheb = ChebyshevPreconditioner(
-            pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
-        )
+        if st.p_gmg is not None:
+            M = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+        else:
+            M = ChebyshevPreconditioner(
+                pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+            )
         if not strong:
-            return cheb(rp)
+            return M(rp)
         tol = 3e-2 * jnp.sqrt(jnp.vdot(rp, rp).real)
-        return cg(pA, rp, jnp.zeros_like(rp), tol, 30, M=cheb).x
+        return cg(pA, rp, jnp.zeros_like(rp), tol, 30, M=M).x
 
     def solve_pressure_mass(self, st: PrecState, rp):
         """CG on the scaled pressure mass, rel 1e-2, lumped-mass diagonal
@@ -266,11 +329,14 @@ class NavierStokesPreconditioner:
             pA = lambda p: self.op.pressure_poisson_vmult(
                 p, jnp.float64(1.0), st.coeffs, self.constraints_schur
             )
-            cheb = ChebyshevPreconditioner(
-                pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
-            )
+            if st.p_gmg is not None:
+                Mp = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+            else:
+                Mp = ChebyshevPreconditioner(
+                    pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+                )
             tol = 1e-2 * jnp.sqrt(jnp.vdot(temp, temp).real)
-            dp = cg(pA, temp, jnp.zeros_like(temp), tol, 30, M=cheb).x
+            dp = cg(pA, temp, jnp.zeros_like(temp), tol, 30, M=Mp).x
             cs = self.constraints_schur.constrained_dofs
             if len(cs):
                 dp = dp.at[cs].set(0.0)
@@ -308,9 +374,17 @@ class NavierStokesPreconditioner:
         op = self.op
         par = self.parameters
         uA = lambda v: op.velocity_vmult(v, tw, st.lin, st.coeffs)
-        cheb = ChebyshevPreconditioner(
-            uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
-        )
+        if st.u_gmg is not None:
+            cheb = lambda r: jnp.stack(
+                [
+                    self.u_gmg_geom[c].vmult(st.u_gmg[c], r[c])
+                    for c in range(op.dim)
+                ]
+            )
+        else:
+            cheb = ChebyshevPreconditioner(
+                uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
+            )
         res_u = gmres(
             uA,
             rhs_u,
@@ -332,9 +406,12 @@ class NavierStokesPreconditioner:
         pA = lambda p: op.pressure_poisson_vmult(
             p, st.inv_rho_weight, st.coeffs, constraints_schur
         )
-        pcheb = ChebyshevPreconditioner(
-            pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
-        )
+        if st.p_gmg is not None:
+            pcheb = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+        else:
+            pcheb = ChebyshevPreconditioner(
+                pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
+            )
         rho_min = min(par.density, par.density + par.density_diff)
         tol_p = 0.1 * dt_start / rho_min * nl_tolerance
         cs = constraints_schur.constrained_dofs
@@ -364,3 +441,12 @@ class NavierStokesPreconditioner:
         dp_rot = constraints_schur.distribute(dp_rot)
         dp = dp_rot + phi
         return du, dp, phi, res_u.iterations, res_u.residual
+
+
+def _cells_to_subcells(x_cells, n_cells_axis, deg: int):
+    """Upsample a per-cell array to the deg^dim Q1 subcells of each cell."""
+    dim = len(n_cells_axis)
+    xx = x_cells.reshape(tuple(reversed(n_cells_axis)))
+    for a in range(dim):
+        xx = jnp.repeat(xx, deg, axis=a)
+    return xx.reshape(-1)
