@@ -31,6 +31,7 @@ import numpy as np
 
 from adaflo_tpu.fe.basis import iterated_gauss_quadrature
 from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.ops.lattice import LatticeOps
 from adaflo_tpu.fe.space import ScalarSpace
 from adaflo_tpu.ops.tensor import CellEvaluator
 from adaflo_tpu.parameters import FlowParameters
@@ -74,6 +75,8 @@ class LevelSetOperators:
         self.cd_ls = jnp.asarray(ls_space.cell_dofs)
         self.cd_u = jnp.asarray(u_space.cell_dofs)
         self.cd_p = jnp.asarray(p_space.cell_dofs)
+        self.lat_ls = LatticeOps.for_space(ls_space)
+        self.lat_u = LatticeOps.for_space(u_space)
         self.n_q = self.ev_ls.n_q
 
         # geometric scalars (uniform mesh; per-cell arrays arrive with AMR)
@@ -102,13 +105,10 @@ class LevelSetOperators:
     def _gather_ls(self, c, con: Optional[Constraints] = None):
         if con is not None:
             c = con.resolve(c)
-        return c[self.cd_ls]
+        return self.lat_ls.gather(c)
 
     def _scatter_ls(self, r_cells, con: Optional[Constraints] = None):
-        n = self.ls_space.n_dofs_padded
-        r = jnp.zeros(n, r_cells.dtype).at[self.cd_ls.reshape(-1)].add(
-            r_cells.reshape(-1)
-        )
+        r = self.lat_ls.scatter_add(r_cells)
         if con is not None:
             r = con.condense(r)
         return r
@@ -116,14 +116,14 @@ class LevelSetOperators:
     def _gather_nrm(self, nv, con: Optional[Constraints] = None):
         if con is not None:
             nv = jnp.stack([con.resolve(nv[d]) for d in range(self.dim)])
-        return jnp.transpose(nv[:, self.cd_ls], (1, 0, 2))
+        return jnp.stack(
+            [self.lat_ls.gather(nv[d]) for d in range(self.dim)], axis=1
+        )
 
     def _scatter_nrm(self, r_cells, con: Optional[Constraints] = None):
-        n = self.ls_space.n_dofs_padded
-        flat = self.cd_ls.reshape(-1)
         rows = []
         for d in range(self.dim):
-            r = jnp.zeros(n, r_cells.dtype).at[flat].add(r_cells[:, d, :].reshape(-1))
+            r = self.lat_ls.scatter_add(r_cells[:, d, :])
             if con is not None:
                 r = con.condense(r)
             rows.append(r)
@@ -153,10 +153,7 @@ class LevelSetOperators:
         out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
-        d = jnp.zeros(self.ls_space.n_dofs_padded).at[self.cd_ls.reshape(-1)].add(
-            diag_loc.reshape(-1)
-        )
-        return d
+        return self.lat_ls.scatter_add(diag_loc)
 
     # -- advection (adv.cc:288-397, 217-258) ----------------------------
     def advection_rhs(self, c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_old_old):
@@ -168,7 +165,7 @@ class LevelSetOperators:
         c_grad = self.ev_ls.gradients(cc)
         co_val = self.ev_ls.values(co)
         coo_val = self.ev_ls.values(coo)
-        uc = jnp.transpose(u[:, self.cd_u], (1, 0, 2))
+        uc = jnp.stack([self.lat_u.gather(u[d]) for d in range(self.dim)], axis=1)
         u_val = self.ev_u_lsq.values(uc)  # (E, dim, n_q)
 
         old_value = tw.weight_old * co_val
@@ -287,8 +284,8 @@ class LevelSetOperators:
         """Returns (user_rhs_u (dim, n_u), rho_q (E, n_q_ns), mu_q) evaluated
         at the NS quadrature."""
         par = self.parameters
-        hv = heaviside[self.cd_ls]  # plain read
-        kv = curvature[self.cd_ls]
+        hv = self.lat_ls.gather(heaviside)  # plain read
+        kv = self.lat_ls.gather(curvature)
         h_val = self.ev_ls_nsq.values(hv)
         kappa = self.ev_ls_nsq.values(kv)
 
@@ -310,11 +307,5 @@ class LevelSetOperators:
         force = force.at[:, self.dim - 1, :].add(-gravity_term)
 
         r = self.ev_u_nsq.integrate_values(force)  # (E, dim, n_loc_u)
-        n = self.u_space.n_dofs_padded
-        flat = self.cd_u.reshape(-1)
-        rows = []
-        for d in range(self.dim):
-            rows.append(
-                jnp.zeros(n).at[flat].add(r[:, d, :].reshape(-1))
-            )
+        rows = [self.lat_u.scatter_add(r[:, d, :]) for d in range(self.dim)]
         return jnp.stack(rows), rho_q, mu_q

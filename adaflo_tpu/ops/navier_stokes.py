@@ -31,6 +31,7 @@ import numpy as np
 
 from adaflo_tpu.fe.constraints import Constraints
 from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.ops.lattice import LatticeOps
 from adaflo_tpu.ops.tensor import CellEvaluator
 from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
 
@@ -96,6 +97,10 @@ class NavierStokesOperator:
         self.ev_p_low = CellEvaluator(self.dim, p_space.basis, deg_p + 1, mesh.h)
         self.cd_u = jnp.asarray(u_space.cell_dofs)
         self.cd_p = jnp.asarray(p_space.cell_dofs)
+        # structured-lattice fast path (strided slices instead of gather /
+        # irregular scatter; see ops/lattice.py)
+        self.lat_u = LatticeOps.for_space(u_space)
+        self.lat_p = LatticeOps.for_space(p_space)
         self.n_q = self.ev_u.n_q
 
         # pressure constant mode for pure-Dirichlet problems: lumped pressure
@@ -108,31 +113,23 @@ class NavierStokesOperator:
         """(dim, n_u) -> (E, dim, n_loc_u)"""
         if resolve:
             u = jnp.stack([c.resolve(u[i]) for i, c in enumerate(self.constraints_u)])
-        return jnp.transpose(u[:, self.cd_u], (1, 0, 2))
+        return jnp.stack([self.lat_u.gather(u[c]) for c in range(self.dim)], axis=1)
 
     def _gather_p(self, p, resolve: bool):
         if resolve:
             p = self.constraints_p.resolve(p)
-        return p[self.cd_p]
+        return self.lat_p.gather(p)
 
     def _scatter_u(self, r_cells):
         """(E, dim, n_loc_u) -> (dim, n_u), with condense."""
-        n = self.u_space.n_dofs_padded
-        flat_idx = self.cd_u.reshape(-1)
         out = []
         for c in range(self.dim):
-            r = jnp.zeros(n, r_cells.dtype).at[flat_idx].add(
-                r_cells[:, c, :].reshape(-1)
-            )
+            r = self.lat_u.scatter_add(r_cells[:, c, :])
             out.append(self.constraints_u[c].condense(r))
         return jnp.stack(out)
 
     def _scatter_p(self, r_cells):
-        n = self.p_space.n_dofs_padded
-        r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
-            r_cells.reshape(-1)
-        )
-        return self.constraints_p.condense(r)
+        return self.constraints_p.condense(self.lat_p.scatter_add(r_cells))
 
     # ------------------------------------------------------------------
     def enable_pressure_fix(self) -> None:
@@ -149,10 +146,7 @@ class NavierStokesOperator:
         self.pressure_fix_mode = (mode, lumped, 1.0 / float(mode @ lumped))
 
     def _scatter_p_plain(self, r_cells):
-        n = self.p_space.n_dofs_padded
-        return jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
-            r_cells.reshape(-1)
-        )
+        return self.lat_p.scatter_add(r_cells)
 
     def apply_pressure_average_projection(self, rp):
         """(navier_stokes_matrix.cc:191-205)"""
@@ -423,11 +417,9 @@ class NavierStokesOperator:
         idx_i = jnp.arange(n_loc)[None, :]
         diag_loc = out[idx_c, idx_i, :, idx_c, idx_i]  # (dim, n_loc, E)
         diag_loc = jnp.transpose(diag_loc, (2, 0, 1))  # (E, dim, n_loc)
-        n = self.u_space.n_dofs_padded
-        flat_idx = self.cd_u.reshape(-1)
         rows = []
         for c in range(dim):
-            d = jnp.zeros(n).at[flat_idx].add(diag_loc[:, c, :].reshape(-1))
+            d = self.lat_u.scatter_add(diag_loc[:, c, :])
             cd = self.constraints_u[c].constrained_dofs
             if len(cd):
                 d = d.at[cd].set(1.0)
@@ -517,14 +509,10 @@ class NavierStokesOperator:
         return rp
 
     def _gather_p_con(self, p, con: Constraints):
-        return con.resolve(p)[self.cd_p]
+        return self.lat_p.gather(con.resolve(p))
 
     def _scatter_p_con(self, r_cells, con: Constraints):
-        n = self.p_space.n_dofs_padded
-        r = jnp.zeros(n, r_cells.dtype).at[self.cd_p.reshape(-1)].add(
-            r_cells.reshape(-1)
-        )
-        return con.condense(r)
+        return con.condense(self.lat_p.scatter_add(r_cells))
 
     def pressure_poisson_diagonal(self, inv_rho_weight, constraints=None):
         """Exact diagonal of the pressure Poisson operator (unit-vector
@@ -542,9 +530,7 @@ class NavierStokesOperator:
         out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))  # (E, n_loc)
-        d = jnp.zeros(self.p_space.n_dofs_padded).at[self.cd_p.reshape(-1)].add(
-            diag_loc.reshape(-1)
-        )
+        d = self.lat_p.scatter_add(diag_loc)
         if len(con.constrained_dofs):
             d = d.at[con.constrained_dofs].set(1.0)
         return d

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adaflo_tpu.fe.basis import basis as make_basis
+from adaflo_tpu.ops.lattice import LatticeOps
 from adaflo_tpu.ops.tensor import CellEvaluator
 
 
@@ -55,6 +56,7 @@ class _LevelGeom:
     cell_dofs: jnp.ndarray  # (E, 2^dim)
     ev: CellEvaluator
     mask: np.ndarray  # constrained dof indices (static)
+    lat: LatticeOps = None
     P1d: List[np.ndarray] = field(default_factory=list)  # per-axis (n_f, n_c)
 
 
@@ -125,7 +127,11 @@ class LatticeGMG:
         while True:
             ev = CellEvaluator(dim, q1, 2, h)
             cd = _q1_cell_dofs(n_cells_axis, nodes_axis)
-            lev = _LevelGeom(nodes_axis, n_cells_axis, jnp.asarray(cd), ev, mask)
+            lat = LatticeOps(
+                nodes_axis, n_cells_axis, 1, (False,) * dim,
+                int(np.prod(nodes_axis)),
+            )
+            lev = _LevelGeom(nodes_axis, n_cells_axis, jnp.asarray(cd), ev, mask, lat)
             levels.append(lev)
             can_coarsen = all(c % 2 == 0 and c >= 2 for c in n_cells_axis) and (
                 int(np.prod(nodes_axis)) > min_coarse_nodes
@@ -189,13 +195,13 @@ class LatticeGMG:
 
     # -- operator application --------------------------------------------
     def _apply_raw(self, lev: _LevelGeom, alpha, beta, x):
-        xc = x[lev.cell_dofs]
+        xc = lev.lat.gather(x)
         al = alpha if alpha.ndim == 0 else alpha[:, None]
         r = lev.ev.integrate_values(al * lev.ev.values(xc))
         g = lev.ev.gradients(xc)
         g = g * (beta if beta.ndim == 0 else beta[:, None, None])
         r = r + lev.ev.integrate_gradients(g)
-        return jnp.zeros_like(x).at[lev.cell_dofs.reshape(-1)].add(r.reshape(-1))
+        return lev.lat.scatter_add(r)
 
     def _apply(self, lev: _LevelGeom, st: LevelState, x):
         if len(lev.mask):
@@ -222,7 +228,7 @@ class LatticeGMG:
         out = jax.vmap(apply_unit)(units)
         idx = jnp.arange(2**self.dim)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
-        d = jnp.zeros(n).at[lev.cell_dofs.reshape(-1)].add(diag_loc.reshape(-1))
+        d = lev.lat.scatter_add(diag_loc)
         if len(lev.mask):
             d = d.at[lev.mask].set(1.0)
         return d

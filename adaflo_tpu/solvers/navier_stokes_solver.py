@@ -638,6 +638,24 @@ class NavierStokes(FlowBaseAlgorithm):
         return (step, n_tot_iterations)
 
     # ------------------------------------------------------------------
+    def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
+        """vtu/pvd time-series output (flow_base_algorithm.cc:222-279)."""
+        if not filename or not self.parameters.print_solution_fields:
+            return
+        if not self.time_stepping.at_tick(self.parameters.output_frequency):
+            return
+        from adaflo_tpu.utils.output import TimeSeriesWriter
+
+        if not hasattr(self, "_writer"):
+            self._writer = TimeSeriesWriter(filename)
+        fields = {
+            "velocity": (self.u_space, np.asarray(self.solution[0]), self.dim),
+            "pressure": (self.p_space, np.asarray(self.solution[1]), 1),
+        }
+        n_sub = n_subdivisions or self.parameters.velocity_degree
+        self._writer.write(self.mesh, fields, self.time_stepping.now(), n_sub)
+
+    # ------------------------------------------------------------------
     def compute_initial_stokes_field(self) -> None:
         """Divergence-free initial velocity via a Stokes solve when the
         boundary conditions are inconsistent with u = 0

@@ -320,6 +320,32 @@ class TwoPhaseBaseAlgorithm:
         """AMR hook; no-op on uniform meshes (adaptive refinements land with
         the forest mesh)."""
 
+    def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
+        """Joint vtu output: velocity, pressure, concentration and the
+        curvature-like field (two_phase_base.cc:550-592)."""
+        par = self.parameters
+        if not filename or not par.print_solution_fields:
+            return
+        if not self.time_stepping.at_tick(par.output_frequency):
+            return
+        from adaflo_tpu.utils.output import TimeSeriesWriter
+
+        if not hasattr(self, "_writer"):
+            self._writer = TimeSeriesWriter(filename)
+        ns = self.navier_stokes
+        fields = {
+            "velocity": (ns.u_space, np.asarray(ns.solution[0]), self.mesh.dim),
+            "pressure": (ns.p_space, np.asarray(ns.solution[1]), 1),
+            "concentration": (self.ls_space, np.asarray(self.solution[0]), 1),
+            self.curvature_name: (self.ls_space, np.asarray(self.solution[1]), 1),
+        }
+        if hasattr(self, "heaviside"):
+            fields["heaviside"] = (self.ls_space, np.asarray(self.heaviside), 1)
+        n_sub = n_subdivisions or min(
+            par.velocity_degree, par.concentration_subdivisions
+        )
+        self._writer.write(self.mesh, fields, self.time_stepping.now(), n_sub)
+
 
 def ev_values(ev: CellEvaluator, u: np.ndarray, space, mask):
     cells = np.transpose(u[:, space.cell_dofs[mask]], (1, 0, 2))

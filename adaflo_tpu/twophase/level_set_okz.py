@@ -359,8 +359,6 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
     def get_time_stepping(self):
         return self.time_stepping
 
-    def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
-        """vtk output hook (full writer lands with utils.output)."""
 
 
 def _discrete_heaviside(x):

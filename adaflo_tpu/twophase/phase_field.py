@@ -355,8 +355,6 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
     def get_time_stepping(self):
         return self.time_stepping
 
-    def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
-        pass
 
 
 def fmtg(x: float) -> str:

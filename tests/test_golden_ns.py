@@ -149,3 +149,48 @@ def test_poiseuille_stationary_golden():
     eu = float(lines[-1].split("=")[-1])
     assert eu < 1e-9, lines[-1]
     compare_with_golden(text, GOLDEN / "poiseuille_stationary.output")
+
+
+def test_rising_bubble_short_golden():
+    from adaflo_tpu.drivers.rising_bubble import TwoPhaseParameters, MicroFluidicProblem
+    import contextlib
+    import io
+
+    par = TwoPhaseParameters.from_file(str(PRMS / "rising_bubble_ls_short.prm"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prob = MicroFluidicProblem(par)
+        prob.run()
+    text = buf.getvalue()
+    # physics sanity: bubble rising, circularity close to 1
+    lines = [l for l in text.splitlines() if "velocity:" in l]
+    vy = float(lines[-1].split()[-1])
+    assert 0.03 < vy < 0.07, lines[-1]
+    circ = [l for l in text.splitlines() if "circularity" in l]
+    assert float(circ[-1].split()[-1]) > 0.999
+    compare_with_golden(text, GOLDEN / "rising_bubble_ls_short.output")
+
+
+@pytest.mark.skipif(
+    os.environ.get("ADAFLO_RUN_SLOW") is None,
+    reason="full-mesh two-phase anchor; run with ADAFLO_RUN_SLOW=1",
+)
+def test_rising_bubble_reference_anchor():
+    """Step-1 bubble velocity on the full reference mesh must match the
+    reference golden value 0.010293956 (rising_bubble_ls.output:13).
+    (Validated end-to-end to t=1.0: circularity 0.9709903 and
+    v_y 0.24195432 identical to the reference in all printed digits;
+    see tests/golden/rising_bubble_ls.output.)"""
+    from adaflo_tpu.drivers.rising_bubble import TwoPhaseParameters, MicroFluidicProblem
+    import io
+
+    par = TwoPhaseParameters.from_file(str(PRMS / "rising_bubble_ls.prm"))
+    par.end_time = 0.02
+    par.output_verbosity = 0
+    prob = MicroFluidicProblem(par, out=io.StringIO())
+    prob.run()
+    data = prob.solution_data[-1]
+    vy = data[5]
+    circ = data[3]
+    assert abs(vy - 0.010293956) < 2e-8, vy
+    assert abs(circ - 0.99997938) < 1e-7, circ
