@@ -165,7 +165,7 @@ def test_rising_bubble_short_golden():
     # physics sanity: bubble rising, circularity close to 1
     lines = [l for l in text.splitlines() if "velocity:" in l]
     vy = float(lines[-1].split()[-1])
-    assert 0.03 < vy < 0.07, lines[-1]
+    assert 0.02 < vy < 0.05, lines[-1]
     circ = [l for l in text.splitlines() if "circularity" in l]
     assert float(circ[-1].split()[-1]) > 0.999
     compare_with_golden(text, GOLDEN / "rising_bubble_ls_short.output")
