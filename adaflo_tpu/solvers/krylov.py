@@ -257,7 +257,10 @@ def _gmres_impl(
         def back_sub(i_rev, y):
             i = j - 1 - i_rev
             num = g[i] - H[i] @ y
-            yi = jnp.where(i >= 0, num / jnp.where(i >= 0, H[i, i], 1.0), 0.0)
+            hii = H[i, i]
+            # guard exact-breakdown zeros (Krylov space exhausted)
+            hii = jnp.where(jnp.abs(hii) > 1e-300, hii, 1e-300)
+            yi = jnp.where(i >= 0, num / hii, 0.0)
             return jnp.where(jnp.arange(m) == i, yi, y)
 
         y = lax.fori_loop(0, j, back_sub, jnp.zeros(m, dtype))

@@ -638,6 +638,62 @@ class NavierStokes(FlowBaseAlgorithm):
         return (step, n_tot_iterations)
 
     # ------------------------------------------------------------------
+    def refine_grid_pressure_based(
+        self,
+        max_grid_level: int,
+        refine_fraction_of_cells: float,
+        coarsen_fraction_of_cells: float,
+    ) -> np.ndarray:
+        """Kelly-style pressure-jump error indicators
+        (navier_stokes.cc:1322-1369): per-cell estimate from the jump of the
+        pressure normal gradient across interior faces. Returns the
+        indicator array; the mesh adaptation itself activates with the
+        forest (AMR) mesh — on the uniform lattice this records indicators
+        for diagnostics and is otherwise a no-op."""
+        p = np.asarray(self.solution[1])[: self.p_space.n_dofs]
+        lat_shape = tuple(reversed(self.p_space.n_nodes_axis))
+        P = p.reshape(lat_shape)
+        deg = self.parameters.pressure_degree
+        h = self.mesh.h
+        cells_shape = tuple(reversed(self.mesh.n_cells_axis))
+        eta2 = np.zeros(cells_shape)
+        for a in range(self.dim):
+            ax = self.dim - 1 - a  # array axis for physical axis a
+            # one-sided normal derivatives at the lattice planes between cells
+            dP = np.diff(P, axis=ax) / (h[a] / deg)
+            # jump at interior cell boundaries: difference of adjacent
+            # one-sided slopes at indices multiple of deg
+            n_c = self.mesh.n_cells_axis[a]
+            bnd = deg * np.arange(1, n_c)
+            left = np.take(dP, bnd - 1, axis=ax)
+            right = np.take(dP, bnd, axis=ax)
+            jump = right - left
+            # accumulate h * mean(jump^2) onto both adjacent cells:
+            # project node values onto cells along the non-split axes
+            red = jump**2
+            for b in range(self.dim):
+                bx = self.dim - 1 - b
+                if b == a:
+                    continue
+                nb = self.mesh.n_cells_axis[b]
+                acc = 0.0
+                for j in range(deg + 1):
+                    idx = deg * np.arange(nb) + j
+                    acc = acc + np.take(red, idx, axis=bx)
+                red = acc / (deg + 1)
+            scale = h[a]
+            contrib = np.zeros(cells_shape)
+            sl_lo = [slice(None)] * self.dim
+            sl_hi = [slice(None)] * self.dim
+            sl_lo[ax] = slice(0, n_c - 1)
+            sl_hi[ax] = slice(1, n_c)
+            contrib[tuple(sl_lo)] += 0.5 * scale * red
+            contrib[tuple(sl_hi)] += 0.5 * scale * red
+            eta2 += contrib
+        self.last_error_indicators = np.sqrt(eta2).reshape(-1)
+        return self.last_error_indicators
+
+    # ------------------------------------------------------------------
     def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
         """vtu/pvd time-series output (flow_base_algorithm.cc:222-279)."""
         if not filename or not self.parameters.print_solution_fields:
