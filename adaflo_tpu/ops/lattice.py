@@ -57,70 +57,76 @@ class LatticeOps:
                 U = jnp.concatenate([U, first], axis=a)
         return U
 
-    def gather(self, u_flat):
-        """(n,) -> (E, n_loc): strided window slices."""
-        U = self._to_ext_lattice(u_flat)
+    def _split_axis_last(self, arr, nc: int):
+        """(..., n_nodes_ext) -> (..., nc, deg+1) via overlap windows, using
+        only static slices, reshapes and one stack (no gather)."""
         deg = self.deg
+        # nodes 0..deg*nc; window i covers [i*deg, i*deg+deg]
+        body = arr[..., : deg * nc].reshape(arr.shape[:-1] + (nc, deg))
+        # the (deg+1)-th local dof of each window = first dof of the next
+        last = arr[..., deg::deg]  # (..., nc): nodes deg, 2deg, ..., deg*nc
+        return jnp.concatenate([body, last[..., :, None]], axis=-1)
 
-        # per-axis strided slicing: stack deg+1 shifted strided views,
-        # splitting the axis into (cells_a, deg+1)
-        def slice_axis(arr, axis, n_cells_a):
-            views = []
-            for i in range(deg + 1):
-                idx = i + deg * np.arange(n_cells_a)
-                views.append(jnp.take(arr, jnp.asarray(idx), axis=axis))
-            return jnp.stack(views, axis=axis + 1)
+    def _combine_axis_last(self, arr, nc: int):
+        """Transpose of _split_axis_last: (..., nc, deg+1) ->
+        (..., n_nodes = deg*nc+1) with overlap accumulation — pure
+        slice/shift/reshape, no scatter."""
+        deg = self.deg
+        bnd0 = arr[..., :, 0]  # (..., nc) contributions to nodes deg*c
+        bndD = arr[..., :, deg]  # contributions to nodes deg*(c+1)
+        zeros = jnp.zeros_like(bndD[..., :1])
+        first_col = bnd0 + jnp.concatenate([zeros, bndD[..., :-1]], axis=-1)
+        if deg > 1:
+            interior = arr[..., :, 1:deg]  # (..., nc, deg-1)
+            blocks = jnp.concatenate([first_col[..., :, None], interior], axis=-1)
+        else:
+            blocks = first_col[..., :, None]
+        flat = blocks.reshape(arr.shape[:-2] + (nc * deg,))
+        return jnp.concatenate([flat, bndD[..., -1:]], axis=-1)
 
-        arr = U
-        # process from the last axis backwards so inserted axes don't shift
-        # earlier ones
-        for a in reversed(range(self.dim)):
-            axis_phys = self.dim - 1 - a
-            arr = slice_axis(arr, a, self.n_cells_axis[axis_phys])
-        # arr now has interleaved axes (c_z, i_z, c_y, i_y, c_x, i_x); we
-        # processed back-to-front, so axis positions: after processing axis a,
-        # that axis splits into (cells_a, local_a) at position a. Since we go
-        # in reverse, earlier axes are unaffected. Final order:
-        # (c_z, i_z, c_y, i_y, c_x, i_x) -> need (c_z, c_y, c_x, i_z, i_y, i_x)
+    def gather(self, u_flat):
+        """(n,) -> (E, n_loc) via pure reshapes/slices."""
+        arr = self._to_ext_lattice(u_flat)
         d = self.dim
-        perm = [2 * a for a in range(d)] + [2 * a + 1 for a in range(d)]
-        arr = jnp.transpose(arr, perm)
+        # split each axis (working axis brought last), back-to-front
+        for a in range(d):  # physical axis a = array axis d-1-a
+            ax = d - 1 - a
+            arr = jnp.moveaxis(arr, ax, -1)
+            arr = self._split_axis_last(arr, self.n_cells_axis[a])
+            # (..., nc_a, loc_a): move both back: cells to ax, keep loc at end
+            arr = jnp.moveaxis(arr, -2, ax)
+        # now axes: (c_z, c_y, c_x, loc_x?, ...) — locals appended in order
+        # a=0 (x) first, so trailing local axes are (loc_x, loc_y, loc_z);
+        # we need (loc_z, loc_y, loc_x) to match lexicographic x-fastest
+        loc_perm = list(range(d)) + [2 * d - 1 - i for i in range(d)]
+        arr = jnp.transpose(arr, loc_perm)
         return arr.reshape(self.n_cells, self.n_loc)
 
     def scatter_add(self, r_cells):
-        """(E, n_loc) -> (n_padded,): sum of strided window adds."""
-        deg = self.deg
+        """(E, n_loc) -> (n_padded,): transpose of gather."""
         d = self.dim
         cells_shape = tuple(reversed(self.n_cells_axis))
-        arr = r_cells.reshape(cells_shape + (deg + 1,) * d)
-        R = jnp.zeros(self.ext_shape, r_cells.dtype)
-        # loop over the (deg+1)^dim local offsets; each is one strided add
-        for flat_loc in range(self.n_loc):
-            loc = []
-            rem = flat_loc
-            for a in range(d):  # loc[a]: local index along physical axis a
-                loc.append(rem % (deg + 1))
-                rem //= deg + 1
-            # local axes follow the d cell axes, ordered (i_z, i_y, i_x)
-            piece = arr[
-                (slice(None),) * d + tuple(int(loc[d - 1 - a]) for a in range(d))
-            ]
-            slices = []
-            for a in range(d):
-                l = int(loc[d - 1 - a])
-                nc = self.n_cells_axis[d - 1 - a]
-                slices.append(slice(l, l + deg * (nc - 1) + 1, deg))
-            R = R.at[tuple(slices)].add(piece)
+        arr = r_cells.reshape(cells_shape + (self.deg + 1,) * d)
+        # local axes currently (loc_z, loc_y, loc_x); reorder to the gather's
+        # internal order (loc_x, loc_y, loc_z)
+        loc_perm = list(range(d)) + [2 * d - 1 - i for i in range(d)]
+        arr = jnp.transpose(arr, loc_perm)
+        # combine axes front-to... reverse of gather: physical axis d-1..0
+        for a in reversed(range(d)):
+            ax = d - 1 - a
+            # the local axis for physical axis a is currently the LAST axis
+            arr = jnp.moveaxis(arr, ax, -2)
+            arr = self._combine_axis_last(arr, self.n_cells_axis[a])
+            arr = jnp.moveaxis(arr, -1, ax)
+        R = arr
         # fold wrap padding back
-        for a in range(d):
-            axis_phys = d - 1 - a
+        for ax in range(d):
+            axis_phys = d - 1 - ax
             if self.periodic[axis_phys]:
-                last = jnp.take(R, jnp.array([R.shape[a] - 1]), axis=a)
-                R = jnp.take(R, jnp.arange(R.shape[a] - 1), axis=a)
-                first = jnp.take(R, jnp.array([0]), axis=a) + last
-                R = jnp.concatenate(
-                    [first, jnp.take(R, jnp.arange(1, R.shape[a]), axis=a)], axis=a
-                )
+                R = jnp.moveaxis(R, ax, -1)
+                first = R[..., :1] + R[..., -1:]
+                R = jnp.concatenate([first, R[..., 1:-1]], axis=-1)
+                R = jnp.moveaxis(R, -1, ax)
         out = R.reshape(-1)
         if self.n_dofs_padded > self.n_dofs:
             out = jnp.concatenate(
