@@ -80,6 +80,7 @@ class NavierStokesOperator:
         p_space: ScalarSpace,
         constraints_u: list[Constraints],
         constraints_p: Constraints,
+        dtype=None,
     ) -> None:
         self.parameters = parameters
         self.dim = u_space.dim
@@ -89,12 +90,17 @@ class NavierStokesOperator:
         self.constraints_p = constraints_p
         mesh = u_space.mesh
         deg_p = p_space.degree
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
         # quadrature with p+2 points: exact enough for the convective term
         # (mirrors FEEvaluation<dim, degree_p+1, degree_p+2>)
-        self.ev_u = CellEvaluator(self.dim, u_space.basis, deg_p + 2, mesh.h)
-        self.ev_p = CellEvaluator(self.dim, p_space.basis, deg_p + 2, mesh.h)
+        self.ev_u = CellEvaluator(self.dim, u_space.basis, deg_p + 2, mesh.h, dtype)
+        self.ev_p = CellEvaluator(self.dim, p_space.basis, deg_p + 2, mesh.h, dtype)
         # reduced quadrature (p+1 points) for pressure-only operators
-        self.ev_p_low = CellEvaluator(self.dim, p_space.basis, deg_p + 1, mesh.h)
+        self.ev_p_low = CellEvaluator(
+            self.dim, p_space.basis, deg_p + 1, mesh.h, dtype
+        )
         self.cd_u = jnp.asarray(u_space.cell_dofs)
         self.cd_p = jnp.asarray(p_space.cell_dofs)
         # structured-lattice fast path (strided slices instead of gather /

@@ -41,8 +41,12 @@ class CellEvaluator:
         basis: LagrangeBasis1D,
         quad_points_1d: int | np.ndarray,
         h: Sequence[float],
-        dtype=jnp.float64,
+        dtype=None,
     ) -> None:
+        import jax as _jax
+
+        if dtype is None:
+            dtype = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
         self.dim = dim
         self.n_1d = basis.n_dofs
         if isinstance(quad_points_1d, (int, np.integer)):

@@ -19,7 +19,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_enable_x64", True)
+    # f32 is the TPU deployment precision for the HBM-bound mat-vec (v5e has
+    # no native f64 units; correctness-critical runs use f64 on request)
+    dtype_name = os.environ.get("ADAFLO_BENCH_DTYPE", "float32")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
     import numpy as np
 
     from adaflo_tpu.fe.constraints import Constraints
@@ -52,15 +56,16 @@ end
         cu.append(c)
     cp = Constraints(p_space.n_dofs)
     cp.close()
-    op = NavierStokesOperator(par, u_space, p_space, cu, cp)
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    op = NavierStokesOperator(par, u_space, p_space, cu, cp, dtype=dtype)
     n_dofs = 3 * u_space.n_dofs + p_space.n_dofs
 
     tw = TimeWeights(
-        jnp.float64(30.0), jnp.float64(-30.0), jnp.float64(0.0), jnp.float64(1.0)
+        *(jnp.asarray(v, dtype) for v in (30.0, -30.0, 0.0, 1.0))
     )
     key = jax.random.PRNGKey(0)
-    u = jax.random.normal(key, (3, u_space.n_dofs))
-    p = jax.random.normal(key, (p_space.n_dofs,))
+    u = jax.random.normal(key, (3, u_space.n_dofs), dtype)
+    p = jax.random.normal(key, (p_space.n_dofs,), dtype)
     lin_val = op.ev_u.values(op._gather_u(u, resolve=False))
     lin_grad = op.ev_u.gradients(op._gather_u(u, resolve=False))
     lin = Linearized(lin_val, lin_grad, jnp.trace(lin_grad, axis1=1, axis2=2))
@@ -98,6 +103,7 @@ end
                 "n_dofs": n_dofs,
                 "ms_per_matvec": dt / reps * 1e3,
                 "platform": jax.devices()[0].platform,
+                "dtype": dtype_name,
             }
         )
     )
