@@ -122,9 +122,16 @@ class BeltramiProblem:
         deg = self.parameters.velocity_degree
         dim = self.mesh.dim
         cell_div = cell_divergence_norm(ns.u_space, ns.solution[0])
-        p_err = l2_error(
-            ns.p_space, ns.solution[1], exact_p(self.nu, dim), time, deg + 2
-        )
+        if self.parameters.augmented_taylor_hood:
+            from adaflo_tpu.utils.errors import l2_error_augmented_pressure
+
+            p_err = l2_error_augmented_pressure(
+                ns.operator, ns.solution[1], exact_p(self.nu, dim), time, deg + 2
+            )
+        else:
+            p_err = l2_error(
+                ns.p_space, ns.solution[1], exact_p(self.nu, dim), time, deg + 2
+            )
         u_err = l2_error(
             ns.u_space,
             ns.solution[0],
@@ -133,7 +140,18 @@ class BeltramiProblem:
             deg + 2,
             n_components=dim,
         )
-        p_norm = l2_norm(ns.p_space, ns.solution[1], deg)
+        if self.parameters.augmented_taylor_hood:
+            from adaflo_tpu.utils.errors import l2_error_augmented_pressure
+
+            p_norm = l2_error_augmented_pressure(
+                ns.operator,
+                ns.solution[1],
+                lambda x, t: np.zeros(len(x)),
+                time,
+                deg,
+            )
+        else:
+            p_norm = l2_norm(ns.p_space, ns.solution[1], deg)
         u_norm = l2_norm(ns.u_space, ns.solution[0], deg, n_components=dim)
         self._p(
             f"  L2-Errors absolute: ||e_p||_L2 = {fmt4(p_err)},"
@@ -168,9 +186,12 @@ class BeltramiProblem:
         ns.setup_problem()
         ns.print_n_dofs()
 
-        # initial condition: exact velocity and pressure at t=0
+        # initial condition: exact velocity and pressure at t=0 (augmented
+        # TH: interpolate the Q part, zero DG0 constants — matching the
+        # reference's interpolate_pressure_field on the FE_Q subspace)
         ns.solution[0] = _to_jnp(interpolate(ns.u_space, exact_u(self.nu, dim)))
-        ns.solution[1] = _to_jnp(interpolate(ns.p_space, exact_p(self.nu, dim)))
+        p0 = interpolate(ns.p_space, exact_p(self.nu, dim))
+        ns.solution[1] = ns.solution[1].at[: len(p0)].set(_to_jnp(p0))
         self.output_results()
 
         while not ns.time_stepping.at_end():

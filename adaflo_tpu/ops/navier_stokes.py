@@ -109,9 +109,22 @@ class NavierStokesOperator:
         self.lat_p = LatticeOps.for_space(p_space)
         self.n_q = self.ev_u.n_q
 
-        # pressure constant mode for pure-Dirichlet problems: lumped pressure
-        # mass as weights (navier_stokes_matrix.cc:110-168)
+        # augmented Taylor-Hood: the pressure space is FE_Q_DG0 = Q_p plus a
+        # per-cell constant; the combined dof vector is [Q dofs, cell
+        # constants] (+ padding). All exact operators are cell-local in the
+        # DG0 part; the Schur Poisson adds an interior-penalty graph
+        # Laplacian between the constants (ns_prec.cc:1636-1684, 2248-2342).
+        self.augmented = parameters.augmented_taylor_hood
+        E = mesh.n_cells
+        self.n_p_q = p_space.n_dofs
+        self.n_p_total = p_space.n_dofs + (E if self.augmented else 0)
+        pad = p_space.n_dofs_padded - p_space.n_dofs
+        self.n_p_padded = self.n_p_total + pad
+
+        # pressure constant modes for pure-Dirichlet problems: lumped
+        # pressure mass as weights (navier_stokes_matrix.cc:110-168)
         self.pressure_fix_mode = None  # set by enable_pressure_fix()
+        self.pressure_dg0_mode = None  # augmented TH second mode
 
     # ------------------------------------------------------------------
     # gather / scatter helpers
@@ -126,6 +139,32 @@ class NavierStokesOperator:
             p = self.constraints_p.resolve(p)
         return self.lat_p.gather(p)
 
+    def _split_p(self, p):
+        """(n_p_padded,) -> (Q part (n_q_padded,), cell constants (E,))"""
+        if not self.augmented:
+            return p, None
+        E = self.u_space.mesh.n_cells
+        pq = jnp.concatenate(
+            [p[: self.n_p_q], jnp.zeros(self.p_space.n_dofs_padded - self.n_p_q, p.dtype)]
+        )
+        pc = p[self.n_p_q : self.n_p_q + E]
+        return pq, pc
+
+    def _join_p(self, rq, rc):
+        """inverse of _split_p (padding at the tail)"""
+        if not self.augmented:
+            return rq
+        tail = rq[self.n_p_q :]
+        return jnp.concatenate([rq[: self.n_p_q], rc, tail])
+
+    def pressure_values_q(self, p, ev, resolve: bool):
+        """pressure values at quadrature points incl. the DG0 constant"""
+        pq, pc = self._split_p(p)
+        vals = ev.values(self._gather_p(pq, resolve))
+        if pc is not None:
+            vals = vals + pc[:, None]
+        return vals
+
     def _scatter_u(self, r_cells):
         """(E, dim, n_loc_u) -> (dim, n_u), with condense."""
         out = []
@@ -139,20 +178,44 @@ class NavierStokesOperator:
 
     # ------------------------------------------------------------------
     def enable_pressure_fix(self) -> None:
-        """Project the constant pressure mode out of residual and vmult
-        (navier_stokes_matrix.cc:110-168: weights = lumped pressure mass,
-        mode zeroed on constrained dofs)."""
-        ones = jnp.ones((self.u_space.mesh.n_cells, self.ev_p_low.n_q))
-        lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
+        """Project the constant pressure mode(s) out of residual and vmult
+        (navier_stokes_matrix.cc:110-168): mode 0 spans the FE_Q part,
+        mode 1 (augmented TH) the DG0 constants; weights are the lumped
+        pressure mass restricted to each mode."""
+        E = self.u_space.mesh.n_cells
+        ones = jnp.ones((E, self.ev_p_low.n_q))
+        lumped_q = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
         n, npad = self.p_space.n_dofs, self.p_space.n_dofs_padded
-        mode = jnp.zeros(npad).at[:n].set(1.0)
+        mode0_q = jnp.zeros(npad).at[:n].set(1.0)
         if len(self.constraints_p.constrained_dofs):
-            mode = mode.at[self.constraints_p.constrained_dofs].set(0.0)
-            lumped = lumped.at[self.constraints_p.constrained_dofs].set(0.0)
-        self.pressure_fix_mode = (mode, lumped, 1.0 / float(mode @ lumped))
+            mode0_q = mode0_q.at[self.constraints_p.constrained_dofs].set(0.0)
+            lumped_q = lumped_q.at[self.constraints_p.constrained_dofs].set(0.0)
+        if self.augmented:
+            cell_vol = jnp.full(E, float(np.prod(self.u_space.mesh.h)))
+            mode0 = self._join_p(mode0_q, jnp.zeros(E))
+            w0 = self._join_p(lumped_q * mode0_q, jnp.zeros(E))
+            mode1 = self._join_p(jnp.zeros_like(mode0_q), jnp.ones(E))
+            w1 = self._join_p(jnp.zeros_like(mode0_q), cell_vol)
+            self.pressure_fix_mode = (mode0, w0, 1.0 / float(mode0 @ w0))
+            self.pressure_dg0_mode = (mode1, w1, 1.0 / float(mode1 @ w1))
+        else:
+            self.pressure_fix_mode = (
+                mode0_q,
+                lumped_q * mode0_q,
+                1.0 / float(mode0_q @ (lumped_q * mode0_q)),
+            )
 
     def _scatter_p_plain(self, r_cells):
         return self.lat_p.scatter_add(r_cells)
+
+    def _integrate_pressure_row(self, f_q):
+        """Integrate a q-point field against the pressure test space
+        (Q part + DG0 constants for augmented TH)."""
+        rq = self._scatter_p(self.ev_p.integrate_values(f_q))
+        if not self.augmented:
+            return rq
+        rc = f_q @ self.ev_p.jxw
+        return self._join_p(rq, rc)
 
     def apply_pressure_average_projection(self, rp):
         """(navier_stokes_matrix.cc:191-205)"""
@@ -165,7 +228,11 @@ class NavierStokesOperator:
         ):
             return rp
         mode, weights, inv = self.pressure_fix_mode
-        return rp - (weights @ rp) * inv * mode
+        rp = rp - (weights @ rp) * inv * mode
+        if self.pressure_dg0_mode is not None:
+            m1, w1, i1 = self.pressure_dg0_mode
+            rp = rp - (w1 @ rp) * i1 * m1
+        return rp
 
     def apply_pressure_shift(self, shift, p):
         if self.pressure_fix_mode is None:
@@ -287,8 +354,7 @@ class NavierStokesOperator:
         uc = self._gather_u(u, resolve=False)
         val_u = self.ev_u.values(uc)
         grad_u = self.ev_u.gradients(uc)
-        pc = self._gather_p(p, resolve=False)
-        p_q = self.ev_p.values(pc)
+        p_q = self.pressure_values_q(p, self.ev_p, resolve=False)
 
         old_val = old_old_val = None
         lin = None
@@ -326,9 +392,9 @@ class NavierStokesOperator:
         if par.linearization == Linearization.projection:
             # the pressure block is not assembled for the fractional-step
             # scheme (navier_stokes_matrix.cc:902-907)
-            rp = jnp.zeros(self.p_space.n_dofs_padded)
+            rp = jnp.zeros(self.n_p_padded if self.augmented else self.p_space.n_dofs_padded)
         else:
-            rp = self._scatter_p(self.ev_p.integrate_values(-div))
+            rp = self._integrate_pressure_row(-div)
         return ru, rp, new_lin
 
     def vmult(
@@ -343,17 +409,15 @@ class NavierStokesOperator:
         uc = self._gather_u(du, resolve=True)
         val_u = self.ev_u.values(uc)
         grad_u = self.ev_u.gradients(uc)
-        pc = self._gather_p(dp, resolve=True)
-        p_q = self.ev_p.values(pc)
+        p_q = self.pressure_values_q(dp, self.ev_p, resolve=True)
         submit_val, stress, div, _ = self._q_point_terms(
             "vmult", tw, val_u, grad_u, p_q, None, None, lin, coeffs
         )
         r_u = self.ev_u.integrate_gradients(stress)
         if submit_val is not None:
             r_u = r_u + self.ev_u.integrate_values(submit_val)
-        r_p = self.ev_p.integrate_values(-div)
         ru = self._scatter_u(r_u)
-        rp = self._scatter_p(r_p)
+        rp = self._integrate_pressure_row(-div)
         # identity on constrained rows (pressure with sign -1, cc:247-256)
         for c in range(self.dim):
             ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))
@@ -447,8 +511,7 @@ class NavierStokesOperator:
             w = -(mu if np.isscalar(mu) else mu)
         else:
             w = -1.0
-        r_p = self.ev_p.integrate_values(w * div)
-        return dst_p + self._scatter_p(r_p)
+        return dst_p + self._integrate_pressure_row(w * div)
 
     def pressure_poisson_vmult(
         self,
@@ -466,18 +529,50 @@ class NavierStokesOperator:
         inside the preconditioner (ns_prec.cc:386-415)."""
         con = constraints if constraints is not None else self.constraints_p
         ev = self.ev_p_low if coeffs.rho is None else self.ev_p
-        pc = self._gather_p_con(p, con)
-        grad_p = ev.gradients(pc)
+        pq, pcst = self._split_p(p)
+        gc = self.lat_p.gather(con.resolve(pq))
+        grad_p = ev.gradients(gc)
         if coeffs.rho is not None:
             grad_p = grad_p * (inv_rho_weight / coeffs.rho)[:, None, :]
         else:
             grad_p = grad_p * inv_rho_weight
         r = ev.integrate_gradients(grad_p)
-        rp = self._scatter_p_con(r, con)
+        rq = con.condense(self.lat_p.scatter_add(r))
+        if pcst is not None:
+            # interior-penalty graph Laplacian between the cell constants
+            # (ns_prec.cc:1649-1683; Q<->DG0 coupling dropped: this operator
+            # only preconditions the Schur complement)
+            rc = self._dg0_graph_laplacian(pcst) * inv_rho_weight
+            rp = self._join_p(rq, rc)
+        else:
+            rp = rq
         cp = con.constrained_dofs
         if len(cp):
             rp = rp.at[cp].set(p[cp])
         return rp
+
+    def _dg0_graph_laplacian(self, pc):
+        """sum_faces penalty * |F| * (p_K - p_K') over interior faces; the
+        penalty deg(deg+1)/h matches the reference's IP parameter."""
+        mesh = self.u_space.mesh
+        dim = self.dim
+        deg = self.p_space.degree
+        vol = float(np.prod(mesh.h))
+        P = pc.reshape(tuple(reversed(mesh.n_cells_axis)))
+        out = jnp.zeros_like(P)
+        for a in range(dim):
+            ax = dim - 1 - a
+            coeff = (deg * (deg + 1) / mesh.h[a]) * (vol / mesh.h[a])
+            d = jnp.diff(P, axis=ax)  # p_{i+1} - p_i
+            pad = [(0, 0)] * dim
+            lo = [(0, 0)] * dim
+            lo[ax] = (0, 1)
+            hi = [(0, 0)] * dim
+            hi[ax] = (1, 0)
+            out = out + coeff * (
+                jnp.pad(-d, lo) + jnp.pad(d, hi)
+            )
+        return out.reshape(-1)
 
     def pressure_convdiff_vmult(
         self, p, coeffs: Coefficients = Coefficients(),
@@ -505,13 +600,27 @@ class NavierStokesOperator:
         """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071)."""
         con = constraints if constraints is not None else self.constraints_p
         ev = self.ev_p_low
-        pc = self._gather_p_con(p, con)
-        val = ev.values(pc) * coefficient
-        r = ev.integrate_values(val)
-        rp = self._scatter_p_con(r, con)
+        pq, pcst = self._split_p(p)
+        val = ev.values(self.lat_p.gather(con.resolve(pq)))
+        if pcst is not None:
+            val = val + pcst[:, None]
+        val = val * coefficient
+        rq = con.condense(self.lat_p.scatter_add(ev.integrate_values(val)))
+        if pcst is not None:
+            rc = val @ ev.jxw
+            rp = self._join_p(rq, rc)
+        else:
+            rp = rq
         cp = con.constrained_dofs
         if len(cp):
             rp = rp.at[cp].set(p[cp])
+        # project the DG0 constant mode (cc:449-454)
+        if (
+            self.pressure_dg0_mode is not None
+            and self.parameters.linearization != Linearization.projection
+        ):
+            m1, w1, i1 = self.pressure_dg0_mode
+            rp = rp - (w1 @ rp) * i1 * m1
         return rp
 
     def _gather_p_con(self, p, con: Constraints):
@@ -537,12 +646,36 @@ class NavierStokesOperator:
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))  # (E, n_loc)
         d = self.lat_p.scatter_add(diag_loc)
+        if self.augmented:
+            d = self._join_p(d, self.dg0_diagonal() * inv_rho_weight)
         if len(con.constrained_dofs):
             d = d.at[con.constrained_dofs].set(1.0)
         return d
 
     def pressure_lumped_mass(self):
         """Lumped pressure mass diagonal (for the diagonal preconditioner of
-        the mass solves, diagonal_preconditioner.cc)."""
-        ones = jnp.ones((self.u_space.mesh.n_cells, self.ev_p_low.n_q))
-        return self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
+        the mass solves, diagonal_preconditioner.cc); includes the DG0 cell
+        volumes for augmented TH."""
+        E = self.u_space.mesh.n_cells
+        ones = jnp.ones((E, self.ev_p_low.n_q))
+        lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
+        if not self.augmented:
+            return lumped
+        vol = float(np.prod(self.u_space.mesh.h))
+        return self._join_p(lumped, jnp.full(E, vol))
+
+    def dg0_diagonal(self):
+        """Diagonal of the DG0 interior-penalty graph Laplacian."""
+        mesh = self.u_space.mesh
+        deg = self.p_space.degree
+        vol = float(np.prod(mesh.h))
+        diag = np.zeros(tuple(reversed(mesh.n_cells_axis)))
+        for a in range(self.dim):
+            ax = self.dim - 1 - a
+            coeff = (deg * (deg + 1) / mesh.h[a]) * (vol / mesh.h[a])
+            n_faces = np.full(mesh.n_cells_axis[a], 2)
+            n_faces[0] = n_faces[-1] = 1
+            shape = [1] * self.dim
+            shape[ax] = -1
+            diag = diag + coeff * n_faces.reshape(shape)
+        return jnp.asarray(diag.reshape(-1))

@@ -102,7 +102,15 @@ class NavierStokes(FlowBaseAlgorithm):
             par, self.operator, self.constraints_schur
         )
 
-        n_u, n_p = self.u_space.n_dofs_padded, self.p_space.n_dofs_padded
+        if par.augmented_taylor_hood and par.linearization == Linearization.projection:
+            raise NotImplementedError(
+                "augmented Taylor-Hood with the projection scheme is not "
+                "yet supported in the TPU build"
+            )
+        n_u = self.u_space.n_dofs_padded
+        n_p = self.operator.n_p_padded if par.augmented_taylor_hood else (
+            self.p_space.n_dofs_padded
+        )
         zeros_u = jnp.zeros((self.dim, n_u))
         zeros_p = jnp.zeros(n_p)
         self.solution = [zeros_u, zeros_p]
@@ -261,7 +269,10 @@ class NavierStokes(FlowBaseAlgorithm):
     # ------------------------------------------------------------------
     @property
     def n_dofs(self):
-        return (self.dim * self.u_space.n_dofs, self.p_space.n_dofs)
+        n_p = self.p_space.n_dofs
+        if self.parameters.augmented_taylor_hood:
+            n_p += self.mesh.n_cells
+        return (self.dim * self.u_space.n_dofs, n_p)
 
     def print_n_dofs(self) -> None:
         nu, npp = self.n_dofs
@@ -333,7 +344,12 @@ class NavierStokes(FlowBaseAlgorithm):
         # drop contributions on constrained rows (distribute_local_to_global)
         for c in range(self.dim):
             const_u[c, self.constraints_u[c].constrained_dofs] = 0.0
-        self.const_rhs = [jnp.asarray(const_u), jnp.zeros(self.p_space.n_dofs_padded)]
+        n_p_pad = (
+            self.operator.n_p_padded
+            if self.parameters.augmented_taylor_hood
+            else self.p_space.n_dofs_padded
+        )
+        self.const_rhs = [jnp.asarray(const_u), jnp.zeros(n_p_pad)]
 
     # ------------------------------------------------------------------
     def init_time_advance(self, print_time_info: bool = True) -> None:

@@ -288,7 +288,7 @@ class NavierStokesPreconditioner:
             self.constraints_schur,
         )
         if st.p_gmg is not None:
-            M = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+            M = lambda r: self._poisson_gmg_apply(st, r)
         else:
             M = ChebyshevPreconditioner(
                 pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
@@ -297,6 +297,22 @@ class NavierStokesPreconditioner:
             return M(rp)
         tol = 3e-2 * jnp.sqrt(jnp.vdot(rp, rp).real)
         return cg(pA, rp, jnp.zeros_like(rp), tol, 30, M=M).x
+
+    def _poisson_gmg_apply(self, st: PrecState, r):
+        """Poisson V-cycle on the Q part; Jacobi on the DG0 constants
+        (augmented TH)."""
+        op = self.op
+        if not op.augmented:
+            return self.p_gmg_geom.vmult(st.p_gmg, r)
+        rq, rc = op._split_p(r)
+        xq = self.p_gmg_geom.vmult(st.p_gmg, rq)
+        scale = jnp.where(st.inv_rho_weight > 0, st.inv_rho_weight, 1.0)
+        xc = rc / (op.dg0_diagonal() * scale)
+        out = op._join_p(xq, xc)
+        cs = self.constraints_schur.constrained_dofs
+        if len(cs):
+            out = out.at[cs].set(r[cs])
+        return out
 
     def solve_pressure_mass(self, st: PrecState, rp):
         """CG on the scaled pressure mass, rel 1e-2, lumped-mass diagonal
@@ -330,7 +346,7 @@ class NavierStokesPreconditioner:
                 p, jnp.float64(1.0), st.coeffs, self.constraints_schur
             )
             if st.p_gmg is not None:
-                Mp = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+                Mp = lambda r: self._poisson_gmg_apply(st, r)
             else:
                 Mp = ChebyshevPreconditioner(
                     pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
@@ -407,7 +423,7 @@ class NavierStokesPreconditioner:
             p, st.inv_rho_weight, st.coeffs, constraints_schur
         )
         if st.p_gmg is not None:
-            pcheb = lambda r: self.p_gmg_geom.vmult(st.p_gmg, r)
+            pcheb = lambda r: self._poisson_gmg_apply(st, r)
         else:
             pcheb = ChebyshevPreconditioner(
                 pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg

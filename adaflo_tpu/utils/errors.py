@@ -99,3 +99,28 @@ def max_value(space: ScalarSpace, vec, n_components: int = 1) -> float:
     vals = np.asarray(ev.values(cells))  # (E, C, n_q)
     mag = np.sqrt((vals**2).sum(axis=1))
     return float(mag.max())
+
+
+def l2_error_augmented_pressure(
+    op, p, exact_fn, time: float = 0.0, n_q_1d: int | None = None
+) -> float:
+    """L2 pressure error for augmented Taylor-Hood (FE_Q_DG0): evaluates the
+    Q part plus the per-cell constant at the quadrature points."""
+    import jax.numpy as jnp
+
+    space = op.p_space
+    mesh = space.mesh
+    if n_q_1d is None:
+        n_q_1d = space.degree + 3
+    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
+    vals = np.asarray(
+        ev.values(jnp.asarray(np.asarray(p)[: space.n_dofs][space.cell_dofs]))
+    )
+    pc = np.asarray(p)[op.n_p_q : op.n_p_q + mesh.n_cells]
+    vals = vals + pc[:, None]
+    qp = ev.quad_coords(mesh)
+    exact = np.asarray(exact_fn(qp.reshape(-1, space.dim), time)).reshape(
+        mesh.n_cells, ev.n_q
+    )
+    jxw = np.asarray(ev.jxw)
+    return float(np.sqrt((((vals - exact) ** 2) * jxw[None, :]).sum()))

@@ -194,3 +194,19 @@ def test_rising_bubble_reference_anchor():
     circ = data[3]
     assert abs(vy - 0.010293956) < 2e-8, vy
     assert abs(circ - 0.99997938) < 1e-7, circ
+
+
+def test_beltrami_augmented_taylor_hood_golden():
+    """Augmented TH: element-wise divergence-free solutions (the cell
+    divergence must sit at solver-tolerance level, not discretization
+    level)."""
+    from adaflo_tpu.drivers.beltrami import main
+
+    text = run_driver_capture(main, str(PRMS / "beltrami_2d_augp_small.prm"))
+    divs = [
+        float(l.split("=")[-1])
+        for l in text.splitlines()
+        if "Cell divergence" in l
+    ]
+    assert all(d < 1e-9 for d in divs[1:]), divs
+    compare_with_golden(text, GOLDEN / "beltrami_2d_augp_small.output")
