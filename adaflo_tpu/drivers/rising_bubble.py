@@ -32,7 +32,8 @@ class TwoPhaseParameters(FlowParameters):
         prm.declare_entry(
             "two-phase method",
             "level set okz",
-            "level set okz|level set okz matrix|phase field",
+            "level set okz|level set okz matrix|phase field|"
+            "front tracking|mixed level set|sharp level set|level set",
         )
         prm.leave_subsection()
         if parameter_file.endswith(".json"):

@@ -72,7 +72,10 @@ class MicroFluidicProblem:
         qp = evp.quad_coords(mesh)
         centers = qp.mean(axis=1)  # approximately cell centers
         jxw = np.asarray(evp.jxw)
-        inner = np.linalg.norm(centers, axis=1) < 0.1
+        # reference radius 0.1 presumes the 80^2 mesh; widen on coarse meshes
+        # so at least one cell center is sampled
+        radius = max(0.1, float(np.linalg.norm(mesh.h)))
+        inner = np.linalg.norm(centers, axis=1) < radius
         p_avg = (p_vals[inner] * jxw).sum()
         o_avg = jxw.sum() * inner.sum()
 

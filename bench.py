@@ -16,12 +16,15 @@ import time
 
 def main() -> None:
     os.environ.setdefault("ADAFLO_BENCH", "1")
+    # f32 is the TPU deployment precision for the HBM-bound mat-vec (v5e has
+    # no native f64 units: measured 330x slower in f64 emulation);
+    # correctness-critical runs use f64 on request
+    dtype_name = os.environ.get("ADAFLO_BENCH_DTYPE", "float32")
+    if dtype_name != "float64":
+        os.environ["ADAFLO_TPU_NO_X64"] = "1"
     import jax
     import jax.numpy as jnp
 
-    # f32 is the TPU deployment precision for the HBM-bound mat-vec (v5e has
-    # no native f64 units; correctness-critical runs use f64 on request)
-    dtype_name = os.environ.get("ADAFLO_BENCH_DTYPE", "float32")
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
     import numpy as np

@@ -155,3 +155,97 @@ end
     run_with_output()
     ns.output_solution(par.output_filename)
     assert any(tmp_path.glob("chan-*.vtu"))
+
+
+def test_sharp_interface_solvers_smoke():
+    """All four sharp-interface method selections run a step and produce
+    finite, rising flow."""
+    import io
+    import tempfile
+
+    from adaflo_tpu.drivers.rising_bubble import TwoPhaseParameters
+    from adaflo_tpu.drivers.sim_rising_bubble import MicroFluidicProblem
+
+    base = """
+subsection Problem-specific
+  set two-phase method = METHOD
+end
+subsection Two phase
+  set density = 1.
+  set density difference = -0.9
+  set viscosity = 0.01
+  set viscosity difference = -0.009
+  set surface tension = 0.0245
+  set epsilon = 1.5
+  set gravity = 0.98
+  set concentration subdivisions = 2
+end
+subsection Time stepping
+  set scheme = bdf_2
+  set end time = 0.02
+  set step size = 0.02
+end
+subsection Navier-Stokes
+  set dimension = 2
+  set global refinements = 1
+  set velocity degree = 2
+  subsection Solver
+    set NL max iterations = 6
+    set NL tolerance = 1.e-8
+    set lin max iterations = 50
+    set lin tolerance = 1.e-4
+  end
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+    for method in ("sharp level set", "front tracking", "level set"):
+        with tempfile.NamedTemporaryFile("w", suffix=".prm", delete=False) as f:
+            f.write(base.replace("METHOD", method))
+            path = f.name
+        par = TwoPhaseParameters.from_file(path)
+        prob = MicroFluidicProblem(par, out=io.StringIO())
+        prob.run()
+        u = np.asarray(prob.navier_stokes.solution[0])
+        assert np.isfinite(u).all(), method
+        assert 1e-4 < np.abs(u).max() < 10.0, (method, np.abs(u).max())
+
+
+def test_marching_squares_circle():
+    """Contour length of a tanh circle profile approximates 2 pi r."""
+    import jax.numpy as jnp
+
+    from adaflo_tpu.fe.space import ScalarSpace
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.twophase.sharp_interface import marching_squares
+
+    mesh = StructuredMesh((40, 40), (0, 0), (2, 2))
+    sp = ScalarSpace(mesh, 2, "iso_q1")
+    x = sp.node_coords
+    r = np.linalg.norm(x - 1.0, axis=1)
+    c = jnp.asarray(-np.tanh((r - 0.5) / 0.05))
+    segs = marching_squares(sp, c)
+    length = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1).sum()
+    assert abs(length - 2 * np.pi * 0.5) < 0.01, length
+
+
+def test_point_evaluation_roundtrip():
+    from adaflo_tpu.fe.space import ScalarSpace
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.utils.point_eval import evaluate_at_points, winding_number_inside
+
+    mesh = StructuredMesh((4, 4), (0, 0), (1, 1))
+    sp = ScalarSpace(mesh, 2)
+    vals = sp.node_coords[:, 0] ** 2 + 2 * sp.node_coords[:, 1]
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.05, 0.95, (50, 2))
+    got = evaluate_at_points(sp, vals, pts)
+    assert np.allclose(got, pts[:, 0] ** 2 + 2 * pts[:, 1], atol=1e-12)
+    # winding number: unit circle polygon
+    t = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    poly = 0.5 + 0.3 * np.stack([np.cos(t), np.sin(t)], axis=1)
+    inside = winding_number_inside(poly, pts)
+    expect = np.linalg.norm(pts - 0.5, axis=1) < 0.3
+    # boundary-grazing points may disagree; demand 98% match
+    assert (inside == expect).mean() > 0.98
