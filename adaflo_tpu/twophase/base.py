@@ -210,8 +210,10 @@ class TwoPhaseBaseAlgorithm:
         """2D bubble diagnostics with explicit sub-cell interface
         reconstruction (two_phase_base.cc:621-968): area, perimeter,
         circularity, mean velocity, center of mass; also sets the adaptive
-        time step and prints the diagnostics block."""
-        assert self.mesh.dim == 2, "3D bubble statistics not yet implemented"
+        time step and prints the diagnostics block. The 3D variant uses the
+        smeared heaviside/delta form (two_phase_base.cc:972-1091)."""
+        if self.mesh.dim == 3:
+            return self._compute_bubble_statistics_3d()
         par = self.parameters
         ns = self.navier_stokes
         sub = (
@@ -314,6 +316,61 @@ class TwoPhaseBaseAlgorithm:
         data = [self.time_stepping.now(), area, perimeter, circularity]
         data += [vel[d] / area for d in range(2)]
         data += [com[d] / area for d in range(2)]
+        return data
+
+    def _compute_bubble_statistics_3d(self) -> list[float]:
+        """Smeared heaviside-delta 3D bubble diagnostics
+        (two_phase_base.cc:972-1091): volume = int H, surface area =
+        0.5 int |grad c|, velocity/center weighted by H, sphericity."""
+        import jax.numpy as jnp
+
+        from adaflo_tpu.fe.basis import iterated_gauss_quadrature
+        from adaflo_tpu.ops.tensor import CellEvaluator
+
+        par = self.parameters
+        ns = self.navier_stokes
+        sub = par.concentration_subdivisions
+        q_ls = iterated_gauss_quadrature(sub, 2)
+        ev_c = CellEvaluator(3, self.ls_space.basis, q_ls, self.mesh.h)
+        ev_u = CellEvaluator(3, ns.u_space.basis, q_ls, self.mesh.h)
+        cd = self.ls_space.cell_dofs
+        H = np.asarray(ev_c.values(jnp.asarray(np.asarray(self.heaviside)[cd])))
+        nrm = np.asarray(self.normal_vector_field)
+        delta = np.stack(
+            [np.asarray(ev_c.values(jnp.asarray(nrm[d][cd]))) for d in range(3)]
+        )  # (3, E, n_q)
+        u = np.asarray(ns.solution[0])
+        uc = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
+        uv = np.asarray(ev_u.values(uc))  # (E, 3, n_q)
+        qp = ev_c.quad_coords(self.mesh)  # (E, n_q, 3)
+        jxw = np.asarray(ev_c.jxw)
+
+        volume = float((H * jxw[None, :]).sum())
+        area = float(
+            (0.5 * np.sqrt((delta**2).sum(axis=0)) * jxw[None, :]).sum()
+        )
+        vel = np.einsum("edq,eq,q->d", uv, H, jxw)
+        com = np.einsum("eqd,eq,q->d", qp, H, jxw)
+        norm_v = float(np.linalg.norm(vel))
+        self.set_adaptive_time_step(norm_v / volume)
+        pi = np.pi
+        sphericity = (pi ** (1.0 / 3.0)) * (6 * volume) ** (2.0 / 3.0) / area
+
+        if par.output_verbosity > 0:
+            self._p(f"  Volume of the particle: {fmt8(volume)}")
+            self._p(f"  Surface area of the particle: {fmt8(area)}")
+            vstr = "  ".join(fmt8(vel[d] / volume) for d in range(3))
+            self._p(f"  Mean bubble velocity: {vstr}  ")
+            cstr = "  ".join(fmt8(com[d] / volume) for d in range(3))
+            self._p(f"  Position of the center of mass:  {cstr}  ")
+            self._p(f"  Sphericity of the particle: {fmt8(sphericity)}")
+            lo, hi = self.get_concentration_range()
+            self._p(f"  Range of level set values: {fmt8(lo)} / {fmt8(hi)}")
+
+        data = [self.time_stepping.now(), volume, area]
+        data += [vel[d] / volume for d in range(3)]
+        data += [com[d] / volume for d in range(3)]
+        data.append(sphericity)
         return data
 
     def refine_grid(self) -> None:

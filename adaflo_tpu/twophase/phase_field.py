@@ -94,7 +94,66 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             )
         )
         self._prec_coeff = None  # rebuilt when the time weight changes
+        self._setup_contact_angle()
         self._build_jitted_pf()
+
+    def _setup_contact_angle(self) -> None:
+        """Wetting boundary data: face dofs / basis / weights on no-slip and
+        velocity-Dirichlet boundaries (phase_field.cc:140-177); the face rule
+        is QIterated(Gauss 2, degree) like the reference."""
+        self._contact_faces = None
+        par = self.parameters
+        if par.contact_angle == 0.0:
+            return
+        from adaflo_tpu.fe.basis import iterated_gauss_quadrature
+
+        q1, w1 = iterated_gauss_quadrature(self.ls_space.degree, 2)
+        Vq, _ = self.ls_space.basis.tabulate(q1)
+        ids = set(self.boundary.no_slip) | set(self.boundary.dirichlet_conditions_u)
+        fds, Vfs, jxws = [], [], []
+        for bid in ids:
+            for axis, end, fd in self.ls_space.boundary_faces(bid):
+                rem = [a for a in range(self.mesh.dim) if a != axis]
+                Vf = Vq
+                jxw = w1 * self.mesh.h[rem[0]]
+                if self.mesh.dim == 3:
+                    Vf = np.kron(Vq, Vq)
+                    jxw = np.kron(w1 * self.mesh.h[rem[1]], w1 * self.mesh.h[rem[0]])
+                fds.append(fd)
+                Vfs.append(Vf)
+                jxws.append(jxw)
+        if fds:
+            import jax.numpy as jnp
+
+            # all faces share the tensor basis on a uniform mesh
+            self._contact_faces = (
+                jnp.asarray(np.concatenate(fds)),
+                jnp.asarray(Vfs[0]),
+                jnp.asarray(jxws[0]),
+            )
+
+    def _apply_contact_bc_residual(self, c, rw):
+        """+= theta sigma 0.75 (c^2-1) on the w equation over wetting faces
+        (phase_field_local.cc:301-364). Returns (rw, frozen face values)."""
+        if self._contact_faces is None:
+            return rw, None
+        fd, Vf, jxw = self._contact_faces
+        par = self.parameters
+        c_q = c[fd] @ Vf.T  # (F, n_qf)
+        ev = par.contact_angle * par.surface_tension * 0.75 * (c_q * c_q - 1.0) * jxw
+        contrib = ev @ Vf  # (F, n_fd)
+        rw = rw.at[fd.reshape(-1)].add(contrib.reshape(-1))
+        return rw, c_q
+
+    def _apply_contact_bc_vmult(self, dc, rw, c_star_face):
+        if self._contact_faces is None:
+            return rw
+        fd, Vf, jxw = self._contact_faces
+        par = self.parameters
+        dc_q = dc[fd] @ Vf.T
+        ev = par.contact_angle * par.surface_tension * 1.5 * dc_q * c_star_face * jxw
+        contrib = ev @ Vf
+        return rw.at[fd.reshape(-1)].add(contrib.reshape(-1))
 
     # ------------------------------------------------------------------
     def _gather(self, v):
@@ -139,14 +198,17 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             r_w = ev.integrate_values(
                 w_val - f2 * c_val * (c_val * c_val - 1.0)
             ) + ev.integrate_gradients(-f4 * c_grad)
+            rw = self._scatter(r_w)
+            rw, c_star_face = self._apply_contact_bc_residual(c, rw)
             return (
                 self._scatter(r_c),
-                self._scatter(r_w),
+                rw,
                 u_val,
                 c_val,
+                c_star_face,
             )
 
-        def vmult(dc, dw, conv, c_star, tw):
+        def vmult(dc, dw, conv, c_star, c_star_face, tw):
             inv_w, f_mob, f2, f4 = factors(tw)
             cc = self._gather(dc)
             wc = self._gather(dw)
@@ -159,7 +221,9 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             r_w = ev.integrate_values(
                 w_val - f2 * c_val * (3.0 * c_star * c_star - 1.0)
             ) + ev.integrate_gradients(-f4 * c_grad)
-            return self._scatter(r_c), self._scatter(r_w)
+            rw = self._scatter(r_w)
+            rw = self._apply_contact_bc_vmult(dc, rw, c_star_face)
+            return self._scatter(r_c), rw
 
         def mass_vmult(x):
             return self._scatter(ev.integrate_values(ev.values(self._gather(x))))
@@ -199,17 +263,19 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
         @jax.jit
         def residual_fn(c, w, c_old, c_old_old, u, tw, bdf2_flag):
-            rc, rw, conv, c_star = residual(c, w, c_old, c_old_old, u, tw, bdf2_flag)
+            rc, rw, conv, c_star, c_star_face = residual(
+                c, w, c_old, c_old_old, u, tw, bdf2_flag
+            )
             res = jnp.sqrt(jnp.vdot(rc, rc).real + jnp.vdot(rw, rw).real)
-            return rc, rw, conv, c_star, res
+            return rc, rw, conv, c_star, c_star_face, res
 
         self._residual_fn = residual_fn
 
         @jax.jit
-        def solve_fn(rc, rw, conv, c_star, tw, helper_d, helper_lam, tol):
+        def solve_fn(rc, rw, conv, c_star, c_star_face, tw, helper_d, helper_lam, tol):
             _, f_mob, _, f4 = factors(tw)
             delta_eps = jnp.sqrt(f_mob / f4)
-            A = lambda x: vmult(x[0], x[1], conv, c_star, tw)
+            A = lambda x: vmult(x[0], x[1], conv, c_star, c_star_face, tw)
             helper = ChebyshevPreconditioner(
                 lambda x: helper_vmult(x, jnp.sqrt(f_mob * f4)),
                 helper_d,
@@ -269,7 +335,7 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
     # ------------------------------------------------------------------
     def compute_residual(self, tw, bdf2_flag):
-        rc, rw, conv, c_star, res = self._residual_fn(
+        rc, rw, conv, c_star, c_star_face, res = self._residual_fn(
             self.solution[0],
             self.solution[1],
             self.solution_old[0],
@@ -281,6 +347,7 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
         self._rhs = (rc, rw)
         self._conv = conv
         self._c_star = c_star
+        self._c_star_face = c_star_face
         return float(res)
 
     def advance_cahn_hilliard(self) -> None:
@@ -319,6 +386,7 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
                 rw,
                 self._conv,
                 self._c_star,
+                self._c_star_face,
                 tw,
                 self._helper_d,
                 self._helper_lam,
