@@ -67,7 +67,10 @@ class NavierStokes(FlowBaseAlgorithm):
         self.user_rhs_u = None
         self.user_rhs_p = None
         self.coefficients = Coefficients()
-        self.solver_timers = {"matvec": [0, 0.0], "solve": [0, 0.0]}
+        from adaflo_tpu.utils.timer import Statistics, TimerOutput
+
+        self.timer = TimerOutput()
+        self.statistics = Statistics()
 
     # -- printing --------------------------------------------------------
     def _p(self, *args, **kw):
@@ -404,7 +407,15 @@ class NavierStokes(FlowBaseAlgorithm):
     # ------------------------------------------------------------------
     def advance_time_step(self):
         self.init_time_advance()
-        return self.evaluate_time_step()
+        result = self.evaluate_time_step()
+        # per-component statistics block every 10 steps under output_memory
+        # (navier_stokes.cc:1081-1154; stripped from golden comparisons)
+        if (
+            self.parameters.output_memory
+            and self.time_stepping.step_no() % 10 == 1
+        ):
+            self.statistics.print_block(self.out or sys.stdout)
+        return result
 
     def evaluate_time_step(self):
         initial_residual = self.compute_initial_residual()
@@ -479,6 +490,9 @@ class NavierStokes(FlowBaseAlgorithm):
         """Two-stage linear solve (navier_stokes.cc:559-653): cheap
         preconditioner first, then inner solves under FGMRES. The projection
         scheme dispatches to the fractional-step solve (cc:563-565)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         par = self.parameters
         tw = TimeWeights.from_time_stepping(self.time_stepping)
         rhs_u, rhs_p = self.system_rhs
@@ -509,6 +523,8 @@ class NavierStokes(FlowBaseAlgorithm):
             residual = float(res2)
         self.solution_update[0] = du
         self.solution_update[1] = dp
+        self.statistics.add("lin solver", _time.perf_counter() - _t0)
+        self.statistics.add("mat-vec", 0.0, max(iters, 1))
         return iters, residual
 
     # ------------------------------------------------------------------
