@@ -210,3 +210,17 @@ def test_beltrami_augmented_taylor_hood_golden():
     ]
     assert all(d < 1e-9 for d in divs[1:]), divs
     compare_with_golden(text, GOLDEN / "beltrami_2d_augp_small.output")
+
+
+@pytest.mark.skipif(
+    os.environ.get("ADAFLO_RUN_SLOW") is None,
+    reason="full 3D Beltrami run (~20 min); run with ADAFLO_RUN_SLOW=1",
+)
+def test_beltrami_3d_full_golden():
+    """Full beltrami_3d run; the stored golden's u-error trajectory matches
+    the reference's golden output to all 4 printed digits at every output
+    time (0.0007541 / 0.0005213 / 0.0003242 / 0.0001974 / 0.0001208)."""
+    from adaflo_tpu.drivers.beltrami import main
+
+    text = run_driver_capture(main, str(PRMS / "beltrami_3d.prm"))
+    compare_with_golden(text, GOLDEN / "beltrami_3d.output")
