@@ -10,6 +10,15 @@ dimension (the VectorizedArray analog), blocked in chunks.
 Currently: Q2 / 3D / Newton / constant-coefficient velocity-block apply (the
 dominant kernel of the coupled solve). The general einsum path remains the
 reference implementation and the fallback for every other configuration.
+
+STATUS (round 1 measurement, v5e, f32, 110k cells): this direct port of the
+einsum structure compiles under Mosaic and matches the XLA path to 2e-16,
+but runs 10x SLOWER (55.6 ms vs 5.8 ms per apply at block=256; larger blocks
+exhaust compile) — Mosaic lowers the rank-5 tiny-axis contractions with
+per-step relayouts. It is therefore NOT wired into the solver; the XLA
+einsum path is the production kernel. A layout-conscious rewrite (2D
+(K, lanes) refs with explicit small-matrix dots, slab-DMA'd lattice input)
+is the round-2 follow-up.
 """
 
 from __future__ import annotations
