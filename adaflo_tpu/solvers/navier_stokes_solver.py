@@ -200,11 +200,6 @@ class NavierStokes(FlowBaseAlgorithm):
     def _build_jitted(self) -> None:
         op = self.operator
         par = self.parameters
-        extrap = par.linearization in (
-            Linearization.projection,
-            Linearization.coupled_velocity_semi_implicit,
-            Linearization.coupled_velocity_explicit,
-        )
 
         @jax.jit
         def residual_fn(u, p, u_old, u_old_old, tw, const_u, const_p,

@@ -44,7 +44,8 @@ class TwoPhaseBaseAlgorithm:
         self.last_concentration_range = (-1.0, 1.0)
         self.global_omega_diameter = 0.0
 
-    # -- BC setter API delegated to the NS solver -----------------------
+    # -- BC setter API delegated to the NS solver (the reference inherits
+    # FlowBaseAlgorithm on both; here the descriptor lives on the NS solver)
     def __getattr__(self, name):
         if name.startswith("set_") or name == "fix_pressure_constant":
             return getattr(self.navier_stokes, name)
