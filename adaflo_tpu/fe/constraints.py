@@ -66,6 +66,17 @@ class Constraints:
             self.slave = self.slave[keep]
             self.master = self.master[keep]
             self.weight = self.weight[keep]
+            # drop exact-duplicate (slave, master) entries (a hanging node
+            # can be reported from several coarse faces with the same row)
+            self._dedup_first()
+            # then substitute constrained masters; substitution can create
+            # duplicate masters inside one row, whose weights must SUM
+            all_slaves = np.unique(self.slave)
+            self._resolve_chains()
+            self._dedup_sum()
+            # a row that vanished (every master Dirichlet) pins its slave to 0
+            vanished = np.setdiff1d(all_slaves, np.unique(self.slave))
+            self._dirichlet[vanished] = True
         else:
             self.slave = np.empty(0, dtype=np.int64)
             self.master = np.empty(0, dtype=np.int64)
@@ -75,7 +86,70 @@ class Constraints:
         is_constrained[self.slave] = True
         self.constrained_dofs = np.flatnonzero(is_constrained)
         self.is_constrained = is_constrained
+        # compressed rows for multi-master constraints (hanging nodes):
+        # unique slave ids + a segment index per COO entry
+        self.slave_unique, self._seg = np.unique(self.slave, return_inverse=True)
+        self._multi_master = len(self.slave_unique) != len(self.slave)
         self._closed = True
+
+    def _dedup_first(self) -> None:
+        key = self.slave * (self.n_dofs + 1) + self.master
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        self.slave = self.slave[first]
+        self.master = self.master[first]
+        self.weight = self.weight[first]
+
+    def _dedup_sum(self) -> None:
+        key = self.slave * (self.n_dofs + 1) + self.master
+        ukey, inv = np.unique(key, return_inverse=True)
+        w = np.zeros(len(ukey))
+        np.add.at(w, inv, self.weight)
+        self.slave = (ukey // (self.n_dofs + 1)).astype(np.int64)
+        self.master = (ukey % (self.n_dofs + 1)).astype(np.int64)
+        self.weight = w
+        nz = np.abs(self.weight) > 1e-13
+        self.slave, self.master, self.weight = (
+            self.slave[nz],
+            self.master[nz],
+            self.weight[nz],
+        )
+
+    def _resolve_chains(self) -> None:
+        """Substitute masters that are themselves constrained.
+
+        Hanging-node closures can chain (a master on a coarse face may hang
+        on a yet-coarser edge in 3D); deal.II resolves these when closing
+        AffineConstraints, and so do we: iterate substitution of slave
+        masters (and drop Dirichlet masters — homogeneous contribution)
+        until every master is free."""
+        for _ in range(20):
+            uslaves = np.unique(self.slave)
+            bad_slave = np.isin(self.master, uslaves)
+            bad_diri = self._dirichlet[self.master]
+            if not bad_slave.any() and not bad_diri.any():
+                return
+            keep = ~(bad_slave | bad_diri)
+            # rows of the current table, keyed by slave (only needed ones)
+            need = np.unique(self.master[bad_slave])
+            rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for s in need:
+                sel = self.slave == s
+                rows[int(s)] = (self.master[sel], self.weight[sel])
+            new_s = [self.slave[keep]]
+            new_m = [self.master[keep]]
+            new_w = [self.weight[keep]]
+            for s, m, w in zip(
+                self.slave[bad_slave], self.master[bad_slave], self.weight[bad_slave]
+            ):
+                mm, mw = rows[int(m)]
+                new_s.append(np.full(len(mm), s, dtype=np.int64))
+                new_m.append(mm)
+                new_w.append(w * mw)
+            self.slave = np.concatenate(new_s)
+            self.master = np.concatenate(new_m)
+            self.weight = np.concatenate(new_w)
+        raise RuntimeError("constraint chain did not resolve in 20 passes")
 
     @property
     def n_constrained(self) -> int:
@@ -88,9 +162,17 @@ class Constraints:
         import jax.numpy as jnp
 
         if len(self.slave):
-            # affine slaves: weighted masters (single-master rows here; summed
-            # rows would need a segment-sum, added with hanging nodes)
-            u = u.at[self.slave].set(self.weight * u[self.master])
+            if self._multi_master:
+                import jax
+
+                vals = jax.ops.segment_sum(
+                    self.weight * u[self.master],
+                    jnp.asarray(self._seg),
+                    num_segments=len(self.slave_unique),
+                )
+                u = u.at[self.slave_unique].set(vals)
+            else:
+                u = u.at[self.slave].set(self.weight * u[self.master])
         if len(self.dirichlet_dofs):
             u = u.at[self.dirichlet_dofs].set(jnp.zeros((), u.dtype))
         return u
@@ -109,7 +191,18 @@ class Constraints:
         """Write constraint values into the vector (homogeneous)."""
         assert self._closed
         if len(self.slave):
-            u = u.at[self.slave].set(self.weight * u[self.master])
+            if self._multi_master:
+                import jax
+                import jax.numpy as jnp
+
+                vals = jax.ops.segment_sum(
+                    self.weight * u[self.master],
+                    jnp.asarray(self._seg),
+                    num_segments=len(self.slave_unique),
+                )
+                u = u.at[self.slave_unique].set(vals)
+            else:
+                u = u.at[self.slave].set(self.weight * u[self.master])
         if len(self.dirichlet_dofs):
             u = u.at[self.dirichlet_dofs].set(0.0)
         return u

@@ -163,6 +163,9 @@ class CellEvaluator:
 
     # -- quadrature point coordinates (host, for forcing terms) -------------
     def quad_coords(self, mesh) -> np.ndarray:
+        return self._quad_coords_impl(mesh)
+
+    def _quad_coords_impl(self, mesh) -> np.ndarray:
         """(n_cells, n_q, dim) physical quadrature point coordinates."""
         q = self.q_points_1d
         axes = []
@@ -198,4 +201,124 @@ class CellEvaluator:
                 Z.reshape(-1, self.n_q),
             ],
             axis=-1,
+        )
+
+class VariableCellEvaluator(CellEvaluator):
+    """CellEvaluator with per-cell Cartesian extents (mixed-level AMR).
+
+    Input/output arrays must carry cells as the LEADING axis, shaped
+    (E, ..., n_local) / (E, ..., n_q); the per-cell 1/h and JxW factors
+    broadcast from axis 0. This is the general-mesh counterpart of deal.II's
+    per-cell Jacobian storage in MatrixFree (the reference relies on it for
+    every adaptive run, e.g. /root/reference/source/navier_stokes.cc AMR
+    paths); geometry stays diagonal because forest cells are axis-aligned
+    boxes."""
+
+    def __init__(self, dim, basis, quad_points_1d, h_cells, dtype=None):
+        h_cells = np.asarray(h_cells, dtype=np.float64)
+        assert h_cells.ndim == 2 and h_cells.shape[1] == dim
+        super().__init__(dim, basis, quad_points_1d, h_cells[0], dtype=dtype)
+        self.set_cell_geometry(h_cells)
+
+    def set_cell_geometry(self, h_cells) -> None:
+        h = np.asarray(h_cells, dtype=np.float64)
+        self.h_cells = h
+        self.inv_h_cells = jnp.asarray(1.0 / h, self.dtype)  # (E, dim)
+        w = self.w1
+        if self.dim == 1:
+            jw = w[None, :] * h[:, :1]
+        elif self.dim == 2:
+            jw = np.einsum("a,b->ab", w, w).reshape(1, -1) * (
+                h[:, 0] * h[:, 1]
+            ).reshape(-1, 1)
+        else:
+            jw = np.einsum("a,b,c->abc", w, w, w).reshape(1, -1) * (
+                h[:, 0] * h[:, 1] * h[:, 2]
+            ).reshape(-1, 1)
+        self.jxw_cells = jnp.asarray(jw, self.dtype)  # (E, n_q)
+
+    def _scale(self, arr, axis: int):
+        """Multiply (E, ..., n_q*) by 1/h_cells[:, axis], broadcast over the
+        middle axes."""
+        s = self.inv_h_cells[:, axis].reshape((-1,) + (1,) * (arr.ndim - 1))
+        return arr * s
+
+    def _jxw_b(self, arr):
+        s = self.jxw_cells.reshape(
+            (self.jxw_cells.shape[0],) + (1,) * (arr.ndim - 2) + (self.n_q,)
+        )
+        return arr * s
+
+    def gradients(self, u):
+        ul = self._to_lattice(u)
+        V, D = self.V, self.D
+        outs = []
+        if self.dim == 1:
+            outs.append(self._scale(jnp.einsum("ai,...i->...a", D, ul), 0))
+        elif self.dim == 2:
+            outs.append(self._scale(jnp.einsum("ai,bj,...ij->...ab", V, D, ul), 0))
+            outs.append(self._scale(jnp.einsum("ai,bj,...ij->...ab", D, V, ul), 1))
+        else:
+            outs.append(
+                self._scale(jnp.einsum("ai,bj,ck,...ijk->...abc", V, V, D, ul), 0)
+            )
+            outs.append(
+                self._scale(jnp.einsum("ai,bj,ck,...ijk->...abc", V, D, V, ul), 1)
+            )
+            outs.append(
+                self._scale(jnp.einsum("ai,bj,ck,...ijk->...abc", D, V, V, ul), 2)
+            )
+        out = jnp.stack(outs, axis=-1 - self.dim)
+        return out.reshape(u.shape[:-1] + (self.dim, self.n_q))
+
+    def integrate_values(self, f):
+        fl = self._to_qlattice(self._jxw_b(f))
+        V = self.V
+        if self.dim == 1:
+            out = jnp.einsum("ai,...a->...i", V, fl)
+        elif self.dim == 2:
+            out = jnp.einsum("ai,bj,...ab->...ij", V, V, fl)
+        else:
+            out = jnp.einsum("ai,bj,ck,...abc->...ijk", V, V, V, fl)
+        return out.reshape(f.shape[:-1] + (self.n_local,))
+
+    def integrate_gradients(self, g):
+        V, D = self.V, self.D
+        gj = self._jxw_b(g)
+        if self.dim == 1:
+            gl = self._to_qlattice(self._scale(gj[..., 0, :], 0))
+            out = jnp.einsum("ai,...a->...i", D, gl)
+        elif self.dim == 2:
+            gx = self._to_qlattice(self._scale(gj[..., 0, :], 0))
+            gy = self._to_qlattice(self._scale(gj[..., 1, :], 1))
+            out = jnp.einsum("ai,bj,...ab->...ij", V, D, gx) + jnp.einsum(
+                "ai,bj,...ab->...ij", D, V, gy
+            )
+        else:
+            gx = self._to_qlattice(self._scale(gj[..., 0, :], 0))
+            gy = self._to_qlattice(self._scale(gj[..., 1, :], 1))
+            gz = self._to_qlattice(self._scale(gj[..., 2, :], 2))
+            out = (
+                jnp.einsum("ai,bj,ck,...abc->...ijk", V, V, D, gx)
+                + jnp.einsum("ai,bj,ck,...abc->...ijk", V, D, V, gy)
+                + jnp.einsum("ai,bj,ck,...abc->...ijk", D, V, V, gz)
+            )
+        return out.reshape(g.shape[:-2] + (self.n_local,))
+
+    def quad_coords(self, space) -> np.ndarray:
+        """(E, n_q, dim) physical quad points from a ForestSpace-like object
+        exposing cell_origin (E, dim) and h_cells (E, dim)."""
+        q = self.q_points_1d
+        if self.dim == 1:
+            ref = q[:, None]
+        elif self.dim == 2:
+            ref = np.stack(
+                np.meshgrid(q, q, indexing="ij")[::-1], axis=-1
+            ).reshape(-1, 2)
+        else:
+            ref = np.stack(
+                np.meshgrid(q, q, q, indexing="ij")[::-1], axis=-1
+            ).reshape(-1, 3)
+        return (
+            space.cell_origin[:, None, :] + ref[None, :, :] * self.h_cells[:, None, :]
         )
