@@ -102,14 +102,34 @@ class BeltramiProblem:
         self.parameters = parameters
         self.out = out
         dim = parameters.dimension
-        self.mesh = StructuredMesh.subdivided_hyper_rectangle(
-            (4,) * dim, (-1.0,) * dim, (1.0,) * dim
-        )
-        # reference applies global_refinements - 2 before its local marks and
-        # one more global refinement after (beltrami.cc:400-412); uniform net
-        # effect: global_refinements - 1
-        self._net_refinements = max(parameters.global_refinements - 1, 0)
-        parameters.global_refinements = self._net_refinements
+        if dim == 2 and not parameters.augmented_taylor_hood:
+            # the reference's exact serial mesh (beltrami.cc:392-412): 4x4
+            # roots on (-1,1)^2, refine_global(g-2), refine active cells #2
+            # and #3 (our Morton order matches deal.II's active ordering for
+            # the first sibling group), then one more global refinement ->
+            # a hanging-node mesh handled by the adaptive forest path
+            from adaflo_tpu.mesh.forest import ForestMesh
+
+            self.mesh = ForestMesh((4,) * dim, (-1.0,) * dim, (2.0,) * dim)
+            g = parameters.global_refinements
+            if g >= 2:
+                self.mesh.refine_global(g - 2)
+            flags = np.zeros(self.mesh.n_cells, dtype=np.int8)
+            flags[2:4] = 1
+            self.mesh.adapt(flags)
+            self.mesh.refine_global(1)
+            parameters.global_refinements = 0
+        else:
+            # 3D: the recorded reference output (3 MPI ranks) shows the two
+            # local refine flags had no effect (4096 uniform cells,
+            # beltrami_3d.output), so the uniform lattice path applies;
+            # augmented TH stays on the uniform mesh as well (forest + DG0
+            # pending)
+            self.mesh = StructuredMesh.subdivided_hyper_rectangle(
+                (4,) * dim, (-1.0,) * dim, (1.0,) * dim
+            )
+            self._net_refinements = max(parameters.global_refinements - 1, 0)
+            parameters.global_refinements = self._net_refinements
         self.navier_stokes = NavierStokes(parameters, self.mesh, out=out)
         self.nu = parameters.viscosity
 

@@ -70,26 +70,47 @@ class Constraints:
             # can be reported from several coarse faces with the same row)
             self._dedup_first()
             # then substitute constrained masters; substitution can create
-            # duplicate masters inside one row, whose weights must SUM
-            all_slaves = np.unique(self.slave)
+            # duplicate masters inside one row, whose weights must SUM.
+            # Dirichlet masters are terminals (they carry no row of their
+            # own), so the resolved table expresses every slave in terms of
+            # free and Dirichlet dofs only: this is the VALUE table, valid
+            # for solution vectors holding inhomogeneous boundary values.
             self._resolve_chains()
             self._dedup_sum()
-            # a row that vanished (every master Dirichlet) pins its slave to 0
-            vanished = np.setdiff1d(all_slaves, np.unique(self.slave))
+            self.vslave = self.slave.copy()
+            self.vmaster = self.master.copy()
+            self.vweight = self.weight.copy()
+            # homogeneous table (updates / residual reads): Dirichlet
+            # masters read zero, so their entries drop out
+            keep = ~self._dirichlet[self.master]
+            self.slave = self.slave[keep]
+            self.master = self.master[keep]
+            self.weight = self.weight[keep]
+            # a row that vanished (every master Dirichlet) pins its UPDATE
+            # to zero; distribute_values still sets its value from the
+            # Dirichlet masters, so mark it Dirichlet only for the
+            # homogeneous bookkeeping
+            vanished = np.setdiff1d(np.unique(self.vslave), np.unique(self.slave))
             self._dirichlet[vanished] = True
         else:
             self.slave = np.empty(0, dtype=np.int64)
             self.master = np.empty(0, dtype=np.int64)
             self.weight = np.empty(0, dtype=np.float64)
+            self.vslave = self.slave
+            self.vmaster = self.master
+            self.vweight = self.weight
         self.dirichlet_dofs = np.flatnonzero(self._dirichlet)
         is_constrained = self._dirichlet.copy()
-        is_constrained[self.slave] = True
+        is_constrained[self.vslave] = True
         self.constrained_dofs = np.flatnonzero(is_constrained)
         self.is_constrained = is_constrained
         # compressed rows for multi-master constraints (hanging nodes):
         # unique slave ids + a segment index per COO entry
         self.slave_unique, self._seg = np.unique(self.slave, return_inverse=True)
         self._multi_master = len(self.slave_unique) != len(self.slave)
+        self.vslave_unique, self._vseg = np.unique(
+            self.vslave, return_inverse=True
+        )
         self._closed = True
 
     def _dedup_first(self) -> None:
@@ -121,15 +142,15 @@ class Constraints:
         Hanging-node closures can chain (a master on a coarse face may hang
         on a yet-coarser edge in 3D); deal.II resolves these when closing
         AffineConstraints, and so do we: iterate substitution of slave
-        masters (and drop Dirichlet masters — homogeneous contribution)
-        until every master is free."""
+        masters until every master is free or Dirichlet (Dirichlet dofs
+        carry no row — their slave rows were dropped — so they terminate
+        chains naturally)."""
         for _ in range(20):
             uslaves = np.unique(self.slave)
             bad_slave = np.isin(self.master, uslaves)
-            bad_diri = self._dirichlet[self.master]
-            if not bad_slave.any() and not bad_diri.any():
+            if not bad_slave.any():
                 return
-            keep = ~(bad_slave | bad_diri)
+            keep = ~bad_slave
             # rows of the current table, keyed by slave (only needed ones)
             need = np.unique(self.master[bad_slave])
             rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -205,6 +226,26 @@ class Constraints:
                 u = u.at[self.slave].set(self.weight * u[self.master])
         if len(self.dirichlet_dofs):
             u = u.at[self.dirichlet_dofs].set(0.0)
+        return u
+
+    def distribute_values(self, u):
+        """Make a SOLUTION vector conforming: slaves <- weighted masters
+        using the VALUE table, which keeps Dirichlet masters (they hold the
+        inhomogeneous boundary values written into the vector). Dirichlet
+        rows are left untouched. This is deal.II
+        AffineConstraints::distribute with inhomogeneities carried by the
+        vector itself."""
+        assert self._closed
+        if len(self.vslave):
+            import jax
+            import jax.numpy as jnp
+
+            vals = jax.ops.segment_sum(
+                self.vweight * u[self.vmaster],
+                jnp.asarray(self._vseg),
+                num_segments=len(self.vslave_unique),
+            )
+            u = u.at[self.vslave_unique].set(vals)
         return u
 
     def set_identity(self, dst, src):

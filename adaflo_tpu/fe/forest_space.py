@@ -34,7 +34,14 @@ _QUANT = 1 << 20  # micro-steps per finest-level cell for node quantization
 
 
 class ForestSpace:
-    """Continuous Q_k space on a 2:1-balanced forest."""
+    """Continuous Q_k space on a 2:1-balanced forest.
+
+    API-compatible with fe/space.py ScalarSpace where the solvers need it
+    (cell_dofs, n_dofs/n_dofs_padded, node_coords, boundary_dofs(bid),
+    n_local, basis, degree); `is_forest` flags the index-map operator path.
+    """
+
+    is_forest = True
 
     def __init__(
         self,
@@ -120,9 +127,25 @@ class ForestSpace:
                 ],
                 axis=-1,
             ).reshape(E, n1**self.dim, self.dim)
+        # entity tag column, mirroring deal.II's entity-based dof numbering:
+        # VERTEX nodes (all axes at cell corners) are shared by position
+        # alone (tag 0); line/face/cell-interior nodes belong to an entity of
+        # a specific refinement level, so a coarse face-interior dof and a
+        # coincident fine vertex stay DISTINCT dofs tied by a weight-1.0
+        # hanging constraint — exactly deal.II's count and structure
+        n_loc = n1**self.dim
+        loc_idx = np.arange(n_loc)
+        is_vertex = np.ones(n_loc, dtype=bool)
+        for a in range(self.dim):
+            ia = (loc_idx // n1**a) % n1
+            is_vertex &= (ia == 0) | (ia == k)
+        tag = np.where(
+            is_vertex[None, :], 0, (levels[:, None].astype(np.int64) + 1)
+        )  # (E, n_loc)
+        full = np.concatenate([full, tag[:, :, None]], axis=-1)
         # unique integer rows -> global dof numbering (no bit packing: deep
         # 3D forests would overflow a composite int64 key)
-        flat = full.reshape(-1, self.dim)
+        flat = full.reshape(-1, self.dim + 1)
         ukeys, first, inverse = np.unique(
             flat, axis=0, return_index=True, return_inverse=True
         )
@@ -166,15 +189,33 @@ class ForestSpace:
     def set_padding(self, multiple: int) -> None:
         self._n_dofs_padded = -(-self.n_dofs // multiple) * multiple
 
+    @property
+    def mesh(self):
+        return self.forest
+
+    @property
+    def n_local(self) -> int:
+        return (self.degree + 1) ** self.dim
+
     # -- boundary queries ----------------------------------------------------
-    def boundary_dofs(self, axis: int, side: int) -> np.ndarray:
+    def side_dofs(self, axis: int, side: int) -> np.ndarray:
         """Dofs on the domain boundary plane (axis, side 0/1)."""
         target = 0 if side == 0 else self._axis_max_key[axis]
         return np.flatnonzero(self._decoded_keys[:, axis] == target)
 
+    def boundary_dofs(self, bid: int) -> np.ndarray:
+        """Dofs on all boundary sides carrying boundary id `bid`
+        (ScalarSpace-compatible signature)."""
+        sides = self.forest.sides_with_boundary_id(bid)
+        if not sides:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(
+            np.concatenate([self.side_dofs(a, s) for a, s in sides])
+        )
+
     def all_boundary_dofs(self) -> np.ndarray:
         out = [
-            self.boundary_dofs(a, s) for a in range(self.dim) for s in (0, 1)
+            self.side_dofs(a, s) for a in range(self.dim) for s in (0, 1)
         ]
         return np.unique(np.concatenate(out))
 

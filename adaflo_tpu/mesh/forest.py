@@ -75,6 +75,32 @@ class ForestMesh:
         self._h = _LIB.forest_create(
             self.dim, self.n_roots[0], self.n_roots[1], nz
         )
+        # boundary ids per (axis, side), deal.II-style colorization; the
+        # default id 0 covers the whole boundary like GridGenerator defaults
+        self._boundary_ids = {
+            (a, s): 0 for a in range(self.dim) for s in (0, 1)
+        }
+
+    def set_boundary_id(self, axis: int, side: int, bid: int) -> None:
+        self._boundary_ids[(axis, side)] = bid
+
+    def boundary_ids(self, axis: int, side: int):
+        return np.array([self._boundary_ids[(axis, side)]])
+
+    def sides_with_boundary_id(self, bid: int):
+        return [k for k, v in self._boundary_ids.items() if v == bid]
+
+    @property
+    def cell_diameter(self) -> float:
+        """Diameter of the smallest (finest-level) cell."""
+        _, h = self.cell_geometry()
+        return float(np.linalg.norm(h, axis=1).min())
+
+    def set_periodic(self, axis: int) -> None:
+        raise NotImplementedError(
+            "periodicity on adaptive forests is not supported; use "
+            "StructuredMesh for periodic directions"
+        )
 
     def __del__(self):
         if getattr(self, "_h", None) and _LIB is not None:

@@ -143,3 +143,34 @@ class LatticeOps:
             space.mesh.periodic,
             space.n_dofs_padded,
         )
+
+
+class IndexMapOps:
+    """General gather/scatter via explicit cell-dof index maps.
+
+    Drop-in for LatticeOps on meshes where the strided-lattice fast path does
+    not apply (adaptive forests with mixed levels). XLA lowers the gather to
+    a dynamic-gather and the scatter to a sorted segment add; on TPU this is
+    slower than the lattice slicing path, which is why uniform meshes keep
+    LatticeOps — but it is fully general."""
+
+    def __init__(self, cell_dofs, n_dofs_padded: int) -> None:
+        self.cd = jnp.asarray(np.asarray(cell_dofs))
+        self.n_cells, self.n_loc = self.cd.shape
+        self.n_dofs_padded = int(n_dofs_padded)
+
+    @classmethod
+    def for_space(cls, space) -> "IndexMapOps":
+        return cls(space.cell_dofs, space.n_dofs_padded)
+
+    def gather(self, u):
+        """(n_dofs_padded,) -> (E, n_loc)"""
+        return u[self.cd]
+
+    def scatter_add(self, r_cells):
+        """(E, n_loc) -> (n_dofs_padded,)"""
+        return (
+            jnp.zeros(self.n_dofs_padded, r_cells.dtype)
+            .at[self.cd.ravel()]
+            .add(r_cells.ravel())
+        )

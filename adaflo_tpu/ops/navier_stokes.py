@@ -93,20 +93,49 @@ class NavierStokesOperator:
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
+        self.is_forest = getattr(u_space, "is_forest", False)
         # quadrature with p+2 points: exact enough for the convective term
         # (mirrors FEEvaluation<dim, degree_p+1, degree_p+2>)
-        self.ev_u = CellEvaluator(self.dim, u_space.basis, deg_p + 2, mesh.h, dtype)
-        self.ev_p = CellEvaluator(self.dim, p_space.basis, deg_p + 2, mesh.h, dtype)
-        # reduced quadrature (p+1 points) for pressure-only operators
-        self.ev_p_low = CellEvaluator(
-            self.dim, p_space.basis, deg_p + 1, mesh.h, dtype
-        )
+        if self.is_forest:
+            # adaptive forest: per-cell geometry + index-map gather/scatter
+            if parameters.augmented_taylor_hood:
+                raise NotImplementedError(
+                    "augmented Taylor-Hood on adaptive forests is not "
+                    "yet supported"
+                )
+            from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+            hc = u_space.h_cells
+            self.ev_u = VariableCellEvaluator(
+                self.dim, u_space.basis, deg_p + 2, hc, dtype
+            )
+            self.ev_p = VariableCellEvaluator(
+                self.dim, p_space.basis, deg_p + 2, hc, dtype
+            )
+            self.ev_p_low = VariableCellEvaluator(
+                self.dim, p_space.basis, deg_p + 1, hc, dtype
+            )
+            from adaflo_tpu.ops.lattice import IndexMapOps
+
+            self.lat_u = IndexMapOps.for_space(u_space)
+            self.lat_p = IndexMapOps.for_space(p_space)
+        else:
+            self.ev_u = CellEvaluator(
+                self.dim, u_space.basis, deg_p + 2, mesh.h, dtype
+            )
+            self.ev_p = CellEvaluator(
+                self.dim, p_space.basis, deg_p + 2, mesh.h, dtype
+            )
+            # reduced quadrature (p+1 points) for pressure-only operators
+            self.ev_p_low = CellEvaluator(
+                self.dim, p_space.basis, deg_p + 1, mesh.h, dtype
+            )
+            # structured-lattice fast path (strided slices instead of gather /
+            # irregular scatter; see ops/lattice.py)
+            self.lat_u = LatticeOps.for_space(u_space)
+            self.lat_p = LatticeOps.for_space(p_space)
         self.cd_u = jnp.asarray(u_space.cell_dofs)
         self.cd_p = jnp.asarray(p_space.cell_dofs)
-        # structured-lattice fast path (strided slices instead of gather /
-        # irregular scatter; see ops/lattice.py)
-        self.lat_u = LatticeOps.for_space(u_space)
-        self.lat_p = LatticeOps.for_space(p_space)
         self.n_q = self.ev_u.n_q
 
         # augmented Taylor-Hood: the pressure space is FE_Q_DG0 = Q_p plus a

@@ -77,6 +77,12 @@ class NavierStokes(FlowBaseAlgorithm):
         print(*args, **kw, file=self.out or sys.stdout)
 
     # ------------------------------------------------------------------
+    @property
+    def is_forest(self) -> bool:
+        from adaflo_tpu.mesh.forest import ForestMesh
+
+        return isinstance(self.mesh, ForestMesh)
+
     def setup_problem(self, initial_velocity_fn=None) -> None:
         par = self.parameters
         mesh = self.mesh
@@ -84,9 +90,34 @@ class NavierStokes(FlowBaseAlgorithm):
             mesh.refine_global(par.global_refinements)
         for axis in self.boundary.periodic_axes:
             mesh.set_periodic(axis)
+        self._setup_discretization()
+        self._allocate_vectors(initial_velocity_fn)
+        self._build_jitted()
+        self.system_is_setup = True
+        self._prec_state: Optional[PrecState] = None
+        self._last_lin = None
 
-        self.u_space = ScalarSpace(mesh, par.velocity_degree)
-        self.p_space = ScalarSpace(mesh, par.pressure_degree)
+    def _setup_discretization(self) -> None:
+        """Build spaces, constraints, operator and preconditioner for the
+        current mesh (re-entered after forest adaptation)."""
+        par = self.parameters
+        mesh = self.mesh
+        if self.is_forest:
+            from adaflo_tpu.fe.forest_space import ForestSpace
+
+            bd = self.boundary
+            if bd.symmetry or bd.normal_flux or bd.open_conditions_p or (
+                bd.periodic_axes
+            ):
+                raise NotImplementedError(
+                    "adaptive forest NS currently supports Dirichlet/no-slip "
+                    "boundaries with pressure fix only"
+                )
+            self.u_space = ForestSpace(mesh, par.velocity_degree)
+            self.p_space = ForestSpace(mesh, par.pressure_degree)
+        else:
+            self.u_space = ScalarSpace(mesh, par.velocity_degree)
+            self.p_space = ScalarSpace(mesh, par.pressure_degree)
         if self.pad_dofs_to > 1:
             self.u_space.set_padding(self.pad_dofs_to)
             self.p_space.set_padding(self.pad_dofs_to)
@@ -105,6 +136,8 @@ class NavierStokes(FlowBaseAlgorithm):
             par, self.operator, self.constraints_schur
         )
 
+    def _allocate_vectors(self, initial_velocity_fn=None) -> None:
+        par = self.parameters
         if par.augmented_taylor_hood and par.linearization == Linearization.projection:
             raise NotImplementedError(
                 "augmented Taylor-Hood with the projection scheme is not "
@@ -128,11 +161,6 @@ class NavierStokes(FlowBaseAlgorithm):
                 initial_velocity_fn(self.u_space.node_coords, self.time_stepping.now())
             )
             self.solution[0] = self.solution[0].at[:, : vals.shape[1]].set(vals)
-
-        self._build_jitted()
-        self.system_is_setup = True
-        self._prec_state: Optional[PrecState] = None
-        self._last_lin = None
 
     # ------------------------------------------------------------------
     def _build_constraints(self) -> None:
@@ -158,29 +186,49 @@ class NavierStokes(FlowBaseAlgorithm):
                 cu[c].add_dirichlet(dofs)
 
         # per-side normal components for symmetry / tangential for normal-flux
-        for axis in range(self.dim):
-            for end in (0, 1):
-                ids_here = set(np.unique(self.mesh.boundary_ids(axis, end)))
-                for bid in ids_here:
-                    faces = [
-                        fd
-                        for ax, en, fd in u_space.boundary_faces(bid)
-                        if (ax, en) == (axis, end)
-                    ]
-                    if not faces:
-                        continue
-                    dofs = np.unique(np.concatenate([f.ravel() for f in faces]))
-                    if bid in bd.symmetry:
-                        cu[axis].add_dirichlet(dofs)
-                    if bid in bd.normal_flux:
-                        for c in range(self.dim):
-                            if c != axis:
-                                cu[c].add_dirichlet(dofs)
+        if bd.symmetry or bd.normal_flux:
+            for axis in range(self.dim):
+                for end in (0, 1):
+                    ids_here = set(np.unique(self.mesh.boundary_ids(axis, end)))
+                    for bid in ids_here:
+                        faces = [
+                            fd
+                            for ax, en, fd in u_space.boundary_faces(bid)
+                            if (ax, en) == (axis, end)
+                        ]
+                        if not faces:
+                            continue
+                        dofs = np.unique(
+                            np.concatenate([f.ravel() for f in faces])
+                        )
+                        if bid in bd.symmetry:
+                            cu[axis].add_dirichlet(dofs)
+                        if bid in bd.normal_flux:
+                            for c in range(self.dim):
+                                if c != axis:
+                                    cu[c].add_dirichlet(dofs)
+
+        # hanging-node rows on adaptive forests (all components + pressure)
+        hang_u = getattr(u_space, "hanging_slave", None)
+        if hang_u is not None and len(hang_u):
+            for c in cu:
+                c.add_affine(
+                    u_space.hanging_slave,
+                    u_space.hanging_master,
+                    u_space.hanging_weight,
+                )
         for c in cu:
             c.close()
         self.constraints_u = cu
 
         cp = Constraints(p_space.n_dofs)
+        hang_p = getattr(p_space, "hanging_slave", None)
+        if hang_p is not None and len(hang_p):
+            cp.add_affine(
+                p_space.hanging_slave,
+                p_space.hanging_master,
+                p_space.hanging_weight,
+            )
         cp.close()
         self.constraints_p = cp
 
@@ -191,8 +239,17 @@ class NavierStokes(FlowBaseAlgorithm):
             cs.add_dirichlet(p_space.boundary_dofs(bid))
         for bid in bd.pressure_fix:
             dofs = p_space.boundary_dofs(bid)
+            # never pin a hanging slave: its row is already constrained
+            if hang_p is not None and len(hang_p):
+                dofs = np.setdiff1d(dofs, np.unique(p_space.hanging_slave))
             if len(dofs):
                 cs.add_dirichlet(dofs[:1])
+        if hang_p is not None and len(hang_p):
+            cs.add_affine(
+                p_space.hanging_slave,
+                p_space.hanging_master,
+                p_space.hanging_weight,
+            )
         cs.close()
         self.constraints_schur = cs
 
@@ -280,9 +337,10 @@ class NavierStokes(FlowBaseAlgorithm):
             f" Number of degrees of freedom (velocity/pressure): "
             f"{nu + npp} ({nu} + {npp})."
         )
+        # default ostream precision (6), navier_stokes.cc:184
         self._p(
             f" Approximate size last cell: "
-            f"{fmt_g(min_cell_diameter / np.sqrt(self.dim))}"
+            f"{min_cell_diameter / np.sqrt(self.dim):.6g}"
         )
 
     # ------------------------------------------------------------------
@@ -323,7 +381,18 @@ class NavierStokes(FlowBaseAlgorithm):
             extra = np.setdiff1d(dd, covered, assume_unique=False)
             if len(extra):
                 u_dev = u_dev.at[c, extra].set(0.0)
+        # hanging nodes: restore conformity of the solution (their masters
+        # may be Dirichlet dofs that were just written)
+        if len(self.constraints_u[0].vslave):
+            for c in range(self.dim):
+                u_dev = u_dev.at[c].set(
+                    self.constraints_u[c].distribute_values(u_dev[c])
+                )
         self.solution[0] = u_dev
+        if len(self.constraints_p.vslave):
+            self.solution[1] = self.constraints_p.distribute_values(
+                self.solution[1]
+            )
 
         # open-boundary face integrals -> const_rhs (cc:1260-1317): natural
         # traction BC sigma.n = -pbar n gives rhs -(pbar, v.n)_dOmega
@@ -665,6 +734,68 @@ class NavierStokes(FlowBaseAlgorithm):
         return (step, n_tot_iterations)
 
     # ------------------------------------------------------------------
+    def adapt_mesh(self, flags: np.ndarray) -> bool:
+        """Adapt the forest (+1 refine / -1 coarsen / 0 keep per cell),
+        rebuild the discretization and transfer all solution vectors by
+        nodal interpolation — the counterpart of the reference's
+        refine_grid + SolutionTransfer round-trip
+        (two_phase_base_algorithm.cc / navier_stokes.cc refine_grid).
+        Returns False if the flags change nothing."""
+        assert self.is_forest, "adapt_mesh requires a ForestMesh"
+        from adaflo_tpu.fe.forest_transfer import ForestFunction
+
+        flags = np.asarray(flags, dtype=np.int8)
+        if not flags.any():
+            return False
+        snap_u = ForestFunction(self.u_space)
+        snap_p = ForestFunction(self.p_space)
+
+        def _dist_u(v):
+            v = np.asarray(v)
+            return np.stack(
+                [
+                    np.asarray(
+                        self.constraints_u[c].distribute_values(jnp.asarray(v[c]))
+                    )
+                    for c in range(self.dim)
+                ]
+            )
+
+        old_vectors = []
+        for block in (
+            self.solution,
+            self.solution_old,
+            self.solution_old_old,
+        ):
+            old_vectors.append(
+                (
+                    _dist_u(block[0]),
+                    np.asarray(
+                        self.constraints_p.distribute_values(block[1])
+                    ),
+                )
+            )
+        # note: user_rhs is zeroed by the re-allocation; callers with
+        # persistent body forces must reassemble it after adapt_mesh
+        self.mesh.adapt(flags)
+        self._setup_discretization()
+        # re-allocate on the new sizes and interpolate
+        self._allocate_vectors()
+        for (u_old, p_old), dst in zip(
+            old_vectors,
+            (self.solution, self.solution_old, self.solution_old_old),
+        ):
+            u_new = snap_u.evaluate(u_old, self.u_space.node_coords)
+            p_new = snap_p.evaluate(p_old, self.p_space.node_coords)
+            dst[0] = dst[0].at[:, : self.u_space.n_dofs].set(jnp.asarray(u_new))
+            dst[1] = dst[1].at[: self.p_space.n_dofs].set(jnp.asarray(p_new))
+        self._build_jitted()
+        self._prec_state = None
+        self._last_lin = None
+        self.update_preconditioner = True
+        return True
+
+    # ------------------------------------------------------------------
     def refine_grid_pressure_based(
         self,
         max_grid_level: int,
@@ -773,6 +904,9 @@ class NavierStokes(FlowBaseAlgorithm):
             return
         for bid, fn in bd.pressure_fix.items():
             dofs = self.p_space.boundary_dofs(bid)
+            # the shift mode is zero on constrained rows; anchor the shift
+            # at an unconstrained dof (hanging slaves follow via distribute)
+            dofs = dofs[~self.constraints_p.is_constrained[dofs]]
             if len(dofs) == 0:
                 continue
             dof = int(dofs[0])
@@ -783,9 +917,14 @@ class NavierStokes(FlowBaseAlgorithm):
                 else 0.0
             )
             shift = target - float(self.solution[1][dof])
-            self.solution[1] = self.operator.apply_pressure_shift(
+            p = self.operator.apply_pressure_shift(
                 jnp.float64(shift), self.solution[1]
             )
+            if len(self.constraints_p.vslave):
+                # restore hanging conformity: the shift mode excludes
+                # constrained rows
+                p = self.constraints_p.distribute_values(p)
+            self.solution[1] = p
             return
 
 

@@ -171,6 +171,14 @@ class NavierStokesPreconditioner:
             VelocityPreconditioner.u_amg,
             VelocityPreconditioner.u_amg_linear,
         )
+        if getattr(op.u_space, "is_forest", False):
+            # adaptive forests have no uniform lattice hierarchy yet;
+            # Chebyshev/Jacobi preconditions both blocks (GMG on the level
+            # hierarchy is a follow-up)
+            self.use_gmg = False
+            self.u_gmg_geom = None
+            self.p_gmg_geom = None
+            return
         mesh = op.u_space.mesh
         self.u_gmg_geom = [
             LatticeGMG(

@@ -14,6 +14,20 @@ from adaflo_tpu.fe.space import ScalarSpace
 from adaflo_tpu.ops.tensor import CellEvaluator
 
 
+def _evaluator(space, n_q_1d: int):
+    """(evaluator, quad coords (E, n_q, dim), jxw (E, n_q)) for uniform or
+    adaptive-forest spaces."""
+    if getattr(space, "is_forest", False):
+        from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+        ev = VariableCellEvaluator(space.dim, space.basis, n_q_1d, space.h_cells)
+        return ev, ev.quad_coords(space), np.asarray(ev.jxw_cells)
+    mesh = space.mesh
+    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
+    jxw = np.broadcast_to(np.asarray(ev.jxw), (mesh.n_cells, ev.n_q))
+    return ev, ev.quad_coords(mesh), jxw
+
+
 def interpolate(space: ScalarSpace, fn, time: float = 0.0) -> np.ndarray:
     """Nodal interpolation; returns (n,) for scalar fn, (C, n) for vector."""
     return np.asarray(fn(space.node_coords, time))
@@ -31,11 +45,10 @@ def l2_error(
     degree+2 like the reference drivers)."""
     import jax.numpy as jnp
 
-    mesh = space.mesh
     if n_q_1d is None:
         n_q_1d = space.degree + 2
-    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
-    qp = ev.quad_coords(mesh)  # (E, n_q, dim)
+    ev, qp, jxw = _evaluator(space, n_q_1d)
+    E = qp.shape[0]
     exact = np.asarray(exact_fn(qp.reshape(-1, space.dim), time))
     vec = np.asarray(vec)
     if n_components == 1:
@@ -47,10 +60,9 @@ def l2_error(
             np.transpose(vec[:, space.cell_dofs], (1, 0, 2))
         )  # (E, C, nloc)
         vals = np.asarray(ev.values(cells))  # (E, C, n_q)
-        exact = exact.reshape(n_components, mesh.n_cells, ev.n_q)
+        exact = exact.reshape(n_components, E, ev.n_q)
         diff2 = ((np.transpose(vals, (1, 0, 2)) - exact) ** 2).sum(axis=0).reshape(-1)
-    jxw = np.tile(np.asarray(ev.jxw), mesh.n_cells)
-    return float(np.sqrt(np.sum(diff2 * jxw)))
+    return float(np.sqrt(np.sum(diff2 * jxw.reshape(-1))))
 
 
 def l2_norm(space: ScalarSpace, vec, n_q_1d: int, n_components: int = 1) -> float:
@@ -72,15 +84,14 @@ def cell_divergence_norm(space: ScalarSpace, u, n_q_1d: int | None = None) -> fl
     (beltrami.cc:228-251)."""
     import jax.numpy as jnp
 
-    mesh = space.mesh
     if n_q_1d is None:
         n_q_1d = space.degree + 1
-    ev = CellEvaluator(space.dim, space.basis, n_q_1d, mesh.h)
+    ev, _, jxw = _evaluator(space, n_q_1d)
     u = np.asarray(u)
     cells = jnp.asarray(np.transpose(u[:, space.cell_dofs], (1, 0, 2)))
     grads = np.asarray(ev.gradients(cells))  # (E, C, dim, n_q)
     div = np.trace(grads, axis1=1, axis2=2)  # (E, n_q)
-    cell_div = (div * np.asarray(ev.jxw)[None, :]).sum(axis=1)
+    cell_div = (div * jxw).sum(axis=1)
     return float(np.sqrt((cell_div**2).sum()))
 
 
@@ -89,8 +100,7 @@ def max_value(space: ScalarSpace, vec, n_components: int = 1) -> float:
     equivalent, two_phase_base.cc:479-545)."""
     import jax.numpy as jnp
 
-    mesh = space.mesh
-    ev = CellEvaluator(space.dim, space.basis, space.degree + 1, mesh.h)
+    ev, _, _ = _evaluator(space, space.degree + 1)
     vec = np.asarray(vec)
     if n_components == 1:
         vals = np.asarray(ev.values(jnp.asarray(vec[space.cell_dofs])))

@@ -26,9 +26,26 @@ VTK_QUAD = 9
 VTK_HEXAHEDRON = 12
 
 
+def _ref_lattice(pts: np.ndarray, dim: int) -> np.ndarray:
+    """((n)^dim, dim) tensor lattice of 1D points, x fastest."""
+    if dim == 1:
+        return pts[:, None]
+    if dim == 2:
+        return np.stack(
+            np.meshgrid(pts, pts, indexing="ij")[::-1], axis=-1
+        ).reshape(-1, 2)
+    return np.stack(
+        np.meshgrid(pts, pts, pts, indexing="ij")[::-1], axis=-1
+    ).reshape(-1, 3)
+
+
 def _patch_points(mesh, n_sub: int) -> np.ndarray:
     """(E, (n_sub+1)^dim, dim) patch point coordinates."""
     pts = equidistant_points(n_sub + 1)
+    if hasattr(mesh, "cell_geometry"):  # adaptive forest
+        centers, h = mesh.cell_geometry()
+        ref = _ref_lattice(pts, mesh.dim)
+        return (centers - 0.5 * h)[:, None, :] + ref[None] * h[:, None, :]
     dummy_basis = ScalarSpace(mesh, 1).basis
     ev = CellEvaluator(mesh.dim, dummy_basis, (pts, np.zeros_like(pts)), mesh.h)
     return ev.quad_coords(mesh)
@@ -38,7 +55,10 @@ def _field_at_patch_points(space: ScalarSpace, values: np.ndarray, n_sub: int):
     import jax.numpy as jnp
 
     pts = equidistant_points(n_sub + 1)
-    ev = CellEvaluator(space.dim, space.basis, (pts, np.zeros_like(pts)), space.mesh.h)
+    # values() never uses the cell extents, so a unit h works for any mesh
+    ev = CellEvaluator(
+        space.dim, space.basis, (pts, np.zeros_like(pts)), (1.0,) * space.dim
+    )
     values = np.asarray(values)
     if values.ndim == 1:
         return np.asarray(ev.values(jnp.asarray(values[space.cell_dofs])))

@@ -48,8 +48,8 @@ def test_uniform_forest_matches_structured_counts():
     # whole-boundary dof counts agree (default boundary id 0 = all sides)
     assert len(fsp.all_boundary_dofs()) == len(ssp.boundary_dofs(0))
     # per-side counts: full grid is 17 x 25 nodes
-    assert len(fsp.boundary_dofs(0, 0)) == 25
-    assert len(fsp.boundary_dofs(1, 1)) == 17
+    assert len(fsp.side_dofs(0, 0)) == 25
+    assert len(fsp.side_dofs(1, 1)) == 17
 
 
 @pytest.mark.parametrize("degree", [1, 2, 3])
