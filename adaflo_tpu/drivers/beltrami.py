@@ -6,10 +6,11 @@ Taylor vortex (Kim & Moin) in 2D and the Beltrami flow (Ethier & Steinman) in
 solution, pressure fixed against the exact pressure at the boundary; absolute
 and relative L2 errors plus cellwise divergence at the output cadence.
 
-The mesh here is the uniform part of the reference setup (its two locally
-refined cells require AMR/hanging nodes); in 3D the reference configuration
-is effectively uniform, so dof counts and error anchors match exactly
-(beltrami_3d.output: 4096 cells, 107811 + 4913 dofs).
+2D runs the reference's exact locally refined mesh (two cells refined before
+the last global refinement -> hanging nodes, handled by the adaptive forest
+path); dof counts and t=0/error-trajectory anchors match beltrami_2d.output
+digit for digit. 3D keeps the uniform mesh matching the recorded 3-process
+reference output (beltrami_3d.output: 4096 cells, 107811 + 4913 dofs).
 """
 
 from __future__ import annotations

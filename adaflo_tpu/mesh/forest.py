@@ -159,6 +159,35 @@ class ForestMesh:
         )
         return out[:n].copy(), int(rel[0])
 
+    def clone(self) -> "ForestMesh":
+        """Reconstruct an identical forest (adapt mutates in place; GMG
+        hierarchies coarsen a copy)."""
+        other = ForestMesh(self.n_roots, self.origin, self.lengths)
+        other._boundary_ids = dict(self._boundary_ids)
+        roots, levels, anchors = self.cells()
+        target = set()
+        for r, l, a in zip(roots, levels, anchors):
+            target.add((tuple(r), int(l), tuple(a)))
+        # refine any cell that is a strict ancestor of a target cell
+        while True:
+            o_roots, o_levels, o_anchors = other.cells()
+            flags = np.zeros(other.n_cells, dtype=np.int8)
+            changed = False
+            for i, (r, l, a) in enumerate(zip(o_roots, o_levels, o_anchors)):
+                if (tuple(r), int(l), tuple(a)) not in target:
+                    flags[i] = 1
+                    changed = True
+            if not changed:
+                return other
+            other.adapt(flags)
+
+    def coarsened(self) -> "ForestMesh":
+        """One global-coarsening step: merge every complete sibling group
+        (deal.II MGTransferGlobalCoarsening's next-coarser mesh)."""
+        other = self.clone()
+        other.adapt(np.full(other.n_cells, -1, dtype=np.int8))
+        return other
+
     def cell_geometry(self):
         """(centers (E, dim), extents (E, dim)) in physical coordinates."""
         roots, levels, anchors = self.cells()

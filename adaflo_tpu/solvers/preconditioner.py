@@ -172,12 +172,39 @@ class NavierStokesPreconditioner:
             VelocityPreconditioner.u_amg_linear,
         )
         if getattr(op.u_space, "is_forest", False):
-            # adaptive forests have no uniform lattice hierarchy yet;
-            # Chebyshev/Jacobi preconditions both blocks (GMG on the level
-            # hierarchy is a follow-up)
-            self.use_gmg = False
-            self.u_gmg_geom = None
-            self.p_gmg_geom = None
+            # adaptive forests: global-coarsening GMG on the forest level
+            # hierarchy (solvers/forest_multigrid.py), the counterpart of the
+            # reference's ML-AMG on p4est grids
+            from adaflo_tpu.solvers.forest_multigrid import ForestGMG
+
+            u_space = op.u_space
+            # fully-Dirichlet sides per velocity component (forest NS
+            # supports Dirichlet/no-slip + pressure fix, so all components
+            # share the same sides)
+            dim = op.dim
+            u_sides = []
+            for c in range(dim):
+                sides = []
+                for a in range(dim):
+                    for s in (0, 1):
+                        dofs = u_space.side_dofs(a, s)
+                        if len(dofs) and op.constraints_u[c].is_constrained[
+                            dofs
+                        ].all():
+                            sides.append((a, s))
+                u_sides.append(sides)
+            self.u_gmg_geom = [
+                ForestGMG(u_space, u_sides[c], u_space.n_dofs_padded)
+                for c in range(dim)
+            ] if self.use_gmg else None
+            pin = None
+            if len(constraints_schur.dirichlet_dofs):
+                pin = op.p_space.node_coords[
+                    int(constraints_schur.dirichlet_dofs[0])
+                ]
+            self.p_gmg_geom = ForestGMG(
+                op.p_space, [], op.p_space.n_dofs_padded, pin_position=pin
+            ) if parameters.pressure_degree >= 1 else None
             return
         mesh = op.u_space.mesh
         self.u_gmg_geom = [
@@ -238,10 +265,17 @@ class NavierStokesPreconditioner:
         u_gmg = p_gmg = None
         if self.use_gmg:
             deg = par.velocity_degree
+            is_forest = getattr(op.u_space, "is_forest", False)
             if coeffs.rho is not None:
                 rho_cell = jnp.mean(coeffs.rho, axis=1)
-                alpha_u = tw.weight * _cells_to_subcells(
-                    rho_cell, op.u_space.mesh.n_cells_axis, deg
+                # lattice GMG smooths on Q1 subcells; forest GMG levels keep
+                # the forest cells, so per-cell coefficients pass through
+                alpha_u = tw.weight * (
+                    rho_cell
+                    if is_forest
+                    else _cells_to_subcells(
+                        rho_cell, op.u_space.mesh.n_cells_axis, deg
+                    )
                 )
             else:
                 alpha_u = jnp.float64(tw.weight * par.density)
@@ -249,8 +283,12 @@ class NavierStokesPreconditioner:
                 alpha_u = 0.0 * alpha_u  # no mass term (stationary / Stokes)
             if coeffs.mu is not None:
                 mu_cell = jnp.mean(coeffs.mu, axis=1)
-                beta_u = tw.tau1 * _cells_to_subcells(
-                    mu_cell, op.u_space.mesh.n_cells_axis, deg
+                beta_u = tw.tau1 * (
+                    mu_cell
+                    if is_forest
+                    else _cells_to_subcells(
+                        mu_cell, op.u_space.mesh.n_cells_axis, deg
+                    )
                 )
             else:
                 beta_u = jnp.float64(tw.tau1 * par.viscosity)
@@ -278,15 +316,25 @@ class NavierStokesPreconditioner:
     # -- pieces ---------------------------------------------------------
     def _u_approx_inverse(self, st: PrecState, ru, tw, do_inner: bool):
         uA = lambda v: self.op.velocity_vmult(v, tw, st.lin, st.coeffs)
-        cheb = ChebyshevPreconditioner(
-            uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
-        )
+        if st.u_gmg is not None:
+            # 'amg linear' selection: one GMG V-cycle per component
+            # (ns_prec.cc velocity AMG apply)
+            M = lambda r: jnp.stack(
+                [
+                    self.u_gmg_geom[c].vmult(st.u_gmg[c], r[c])
+                    for c in range(self.op.dim)
+                ]
+            )
+        else:
+            M = ChebyshevPreconditioner(
+                uA, st.u_diag, st.u_lambda_max, self.u_cheb_deg
+            )
         if not do_inner:
-            return cheb(ru)
+            return M(ru)
         # inner solve to 3e-2 relative (ns_prec.cc:636-665; BiCGStab there,
         # CG-equivalent robustness via FGMRES outer here)
         tol = 3e-2 * jnp.sqrt(jnp.vdot(ru, ru).real)
-        return cg(uA, ru, jnp.zeros_like(ru), tol, 100, M=cheb).x
+        return cg(uA, ru, jnp.zeros_like(ru), tol, 100, M=M).x
 
     def _poisson_approx_inverse(self, st: PrecState, rp, strong: bool):
         pA = lambda p: self.op.pressure_poisson_vmult(

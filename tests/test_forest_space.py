@@ -204,3 +204,55 @@ def test_forest_function_point_evaluation_vector():
     assert vals.shape == (2, 57)
     assert np.abs(vals[0] - pts[:, 0]).max() < 1e-13
     assert np.abs(vals[1] - 2.0 * pts[:, 1]).max() < 1e-13
+
+
+def test_forest_gmg_poisson():
+    """Global-coarsening GMG on the forest hierarchy: mesh-independent-ish
+    CG counts (counterpart of the reference's ML-AMG on p4est meshes) and
+    the same solution as diagonal-preconditioned CG."""
+    from adaflo_tpu.solvers.forest_multigrid import ForestGMG
+
+    forest = ForestMesh((2, 2), (0.0, 0.0), (1.0, 1.0))
+    forest.refine_global(3)
+    centers, _ = forest.cell_geometry()
+    d = np.linalg.norm(centers - np.array([0.3, 0.4]), axis=1)
+    forest.adapt((d < 0.3).astype(np.int8))
+    sp = ForestSpace(forest, 2)
+    con = sp.make_constraints(dirichlet=sp.all_boundary_dofs())
+    op = ForestHelmholtzOperator(sp, con, n_q_1d=4)
+    qc = op.ev.quad_coords(sp)
+    f = 2 * np.pi**2 * np.sin(np.pi * qc[..., 0]) * np.sin(np.pi * qc[..., 1])
+    b = op.rhs(jnp.asarray(f))
+    A = lambda v: op.vmult(v, alpha=None, beta=1.0)
+
+    prec = DiagonalPreconditioner(op.diagonal(alpha=None, beta=1.0))
+    r_diag = cg(A, b, jnp.zeros_like(b), 1e-10, 800, M=prec)
+
+    sides = [(a, s) for a in range(2) for s in (0, 1)]
+    gmg = ForestGMG(sp, sides, sp.n_dofs_padded, min_coarse_nodes=100)
+    assert len(gmg.levels) >= 3
+    st = gmg.compute(jnp.float64(0.0), jnp.float64(1.0))
+    r_gmg = cg(A, b, jnp.zeros_like(b), 1e-10, 100, M=lambda r: gmg.vmult(st, r))
+    assert int(r_gmg.iterations) <= 12, int(r_gmg.iterations)
+    assert int(r_gmg.iterations) < int(r_diag.iterations) // 5
+    assert float(jnp.abs(r_gmg.x - r_diag.x).max()) < 1e-8
+
+
+def test_forest_gmg_helmholtz_state_reuse():
+    """compute() is pure in (alpha, beta): two states from one geometry
+    precondition different operators correctly."""
+    from adaflo_tpu.solvers.forest_multigrid import ForestGMG
+
+    forest = _adaptive_forest_2d(1)
+    sp = ForestSpace(forest, 2)
+    con = sp.make_constraints(dirichlet=sp.all_boundary_dofs())
+    op = ForestHelmholtzOperator(sp, con, n_q_1d=3)
+    sides = [(a, s) for a in range(2) for s in (0, 1)]
+    gmg = ForestGMG(sp, sides, sp.n_dofs_padded, min_coarse_nodes=50)
+    b = jnp.asarray(np.random.default_rng(0).normal(size=sp.n_dofs))
+    b = b.at[con.constrained_dofs].set(0.0)
+    for alpha in (0.0, 10.0):
+        st = gmg.compute(jnp.float64(alpha), jnp.float64(1.0))
+        A = lambda v: op.vmult(v, alpha=alpha if alpha else None, beta=1.0)
+        res = cg(A, b, jnp.zeros_like(b), 1e-10, 60, M=lambda r: gmg.vmult(st, r))
+        assert bool(res.converged), (alpha, int(res.iterations))

@@ -224,3 +224,95 @@ def test_beltrami_3d_full_golden():
 
     text = run_driver_capture(main, str(PRMS / "beltrami_3d.prm"))
     compare_with_golden(text, GOLDEN / "beltrami_3d.output")
+
+
+def test_beltrami_2d_amr_interpolation_anchor():
+    """t=0 anchors on the reference's EXACT 2D AMR mesh with hanging nodes
+    (beltrami_2d.output:2-7): 1048 cells, 34158 + 9663 dofs, all four error
+    digits identical. Exercises the adaptive forest path (entity-tagged dofs
+    + hanging constraints) against real reference numbers."""
+    import io
+    import jax.numpy as jnp
+
+    from adaflo_tpu.drivers.beltrami import BeltramiProblem, exact_p, exact_u
+    from adaflo_tpu.utils.errors import (
+        cell_divergence_norm,
+        interpolate,
+        l2_error,
+        l2_norm,
+    )
+
+    par = FlowParameters.from_string(
+        """
+subsection Navier-Stokes
+  set dimension = 2
+  set global refinements = 4
+  set velocity degree = 4
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+    )
+    prob = BeltramiProblem(par, out=io.StringIO())
+    ns = prob.navier_stokes
+    ns.set_velocity_dirichlet_boundary(0, lambda x, t: exact_u(1.0, 2)(x, t))
+    ns.fix_pressure_constant(0, lambda x, t: exact_p(1.0, 2)(x, t))
+    ns.setup_problem()
+    assert prob.mesh.n_cells == 1048
+    nu, npp = ns.n_dofs
+    assert (nu, npp) == (34158, 9663)
+    ns.solution[0] = jnp.asarray(interpolate(ns.u_space, exact_u(1.0, 2)))
+    p0 = interpolate(ns.p_space, exact_p(1.0, 2))
+    ns.solution[1] = ns.solution[1].at[: len(p0)].set(jnp.asarray(p0))
+    ep = l2_error(ns.p_space, ns.solution[1], exact_p(1.0, 2), 0.0, 6)
+    eu = l2_error(
+        ns.u_space, ns.solution[0], exact_u(1.0, 2), 0.0, 6, n_components=2
+    )
+    div = cell_divergence_norm(ns.u_space, ns.solution[0])
+    # reference: 9.507e-09 / 8.461e-12 / 2.746e-16
+    assert abs(ep - 9.507e-09) < 5e-13, ep
+    assert abs(eu - 8.461e-12) < 5e-15, eu
+    assert div < 1e-14
+    # relative errors: 2.291e-08 / 9.877e-12
+    assert abs(ep / l2_norm(ns.p_space, ns.solution[1], 4) - 2.291e-08) < 1e-11
+    assert (
+        abs(
+            eu / l2_norm(ns.u_space, ns.solution[0], 4, n_components=2)
+            - 9.877e-12
+        )
+        < 5e-15
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("ADAFLO_RUN_SLOW") is None,
+    reason="full 2D AMR Beltrami run (~30 min); run with ADAFLO_RUN_SLOW=1",
+)
+def test_beltrami_2d_amr_full_anchors():
+    """Full 40-step beltrami_2d on the reference's hanging-node mesh: the
+    first Newton residual of step 1 is assembly-determined and must match
+    the reference exactly; L2 errors at the output ticks must match to the
+    printed precision (beltrami_2d.output)."""
+    import io
+
+    from adaflo_tpu.drivers.beltrami import BeltramiProblem
+
+    par = FlowParameters.from_file(
+        "/root/reference/tests/beltrami_2d.prm"
+        if os.path.exists("/root/reference/tests/beltrami_2d.prm")
+        else str(PRMS / "beltrami_2d_small.prm")
+    )
+    par.output_filename = ""
+    buf = io.StringIO()
+    prob = BeltramiProblem(par, out=buf)
+    prob.run()
+    out = buf.getvalue()
+    assert "4.149e-01   1.021e-03" in out  # step-1 assembly anchor
+    # error anchors at t = 0.04 ... 0.4 (reference lines 88, 171, ...)
+    for anchor in (
+        "||e_u||_L2 = 4.449e-05",
+        "||e_u||_L2 = 2.515e-05",
+        "||e_u||_L2 = 1.378e-05",
+    ):
+        assert anchor in out, anchor
