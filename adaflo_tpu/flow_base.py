@@ -47,10 +47,19 @@ class FlowBaseAlgorithm:
         )
 
     def set_open_boundary_with_normal_flux(
-        self, boundary_id: int, pressure_fn=None
+        self, boundary_id: int, pressure_fn=None, inflow_fluid_type: int = 0
     ) -> None:
+        """(flow_base_algorithm.cc:140-171); inflow_fluid_type +/-1 pins the
+        two-phase concentration on the boundary to that fluid."""
         self.set_open_boundary(boundary_id, pressure_fn)
         self.boundary.normal_flux.add(boundary_id)
+        if inflow_fluid_type:
+            from adaflo_tpu.functions import ConstantFunction
+
+            assert inflow_fluid_type in (-1, 1)
+            self.boundary.fluid_type[boundary_id] = ConstantFunction(
+                float(inflow_fluid_type)
+            )
 
     def fix_pressure_constant(self, boundary_id: int, pressure_fn=None) -> None:
         self.boundary.pressure_fix[boundary_id] = as_function(pressure_fn)

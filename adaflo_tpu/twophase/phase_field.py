@@ -178,6 +178,9 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
         def residual(c, w, c_old, c_old_old, u, tw, bdf2_flag):
             inv_w, f_mob, f2, f4 = factors(tw)
+            # residual cell terms read PLAIN (read_dof_values_plain,
+            # phase_field_local.cc:169-173); only the contact-angle face
+            # term reads through the constraints (cc:348)
             cc = self._gather(c)
             wc = self._gather(w)
             c_val = ev.values(cc)
@@ -200,8 +203,17 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             ) + ev.integrate_gradients(-f4 * c_grad)
             rw = self._scatter(r_w)
             rw, c_star_face = self._apply_contact_bc_residual(c, rw)
+            rc_out = self._scatter(r_c)
+            # fluid-type inflow boundaries carry Dirichlet rows (zero
+            # residual, zero update), phase_field.cc:113-128
+            cd_c = self.constraints_ls.constrained_dofs
+            cd_w = self.constraints_curvature.constrained_dofs
+            if len(cd_c):
+                rc_out = rc_out.at[cd_c].set(0.0)
+            if len(cd_w):
+                rw = rw.at[cd_w].set(0.0)
             return (
-                self._scatter(r_c),
+                rc_out,
                 rw,
                 u_val,
                 c_val,
@@ -210,8 +222,10 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
         def vmult(dc, dw, conv, c_star, c_star_face, tw):
             inv_w, f_mob, f2, f4 = factors(tw)
-            cc = self._gather(dc)
-            wc = self._gather(dw)
+            # read_dof_values semantics: constrained (inflow Dirichlet) dofs
+            # read zero inside the Krylov iteration
+            cc = self._gather(self.constraints_ls.resolve(dc))
+            wc = self._gather(self.constraints_curvature.resolve(dw))
             c_val = ev.values(cc)
             c_grad = ev.gradients(cc)
             w_val = ev.values(wc)
@@ -223,7 +237,14 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             ) + ev.integrate_gradients(-f4 * c_grad)
             rw = self._scatter(r_w)
             rw = self._apply_contact_bc_vmult(dc, rw, c_star_face)
-            return self._scatter(r_c), rw
+            rc_out = self._scatter(r_c)
+            cd_c = self.constraints_ls.constrained_dofs
+            cd_w = self.constraints_curvature.constrained_dofs
+            if len(cd_c):
+                rc_out = rc_out.at[cd_c].set(dc[cd_c])
+            if len(cd_w):
+                rw = rw.at[cd_w].set(dw[cd_w])
+            return rc_out, rw
 
         def mass_vmult(x):
             return self._scatter(ev.integrate_values(ev.values(self._gather(x))))
@@ -261,6 +282,24 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
         self._helper_diag_fn = helper_diag
 
+        # lattice GMG for the helper solves (M + coeff K on the Q1 dof
+        # lattice) — the counterpart of the reference's AMG helper
+        # preconditioner (phase_field.cc create_cahn_hilliard_preconditioner);
+        # Chebyshev remains the fallback on periodic lattices
+        self._ls_gmg = None
+        if not any(self.mesh.periodic):
+            from adaflo_tpu.solvers.multigrid import LatticeGMG
+
+            self._ls_gmg = LatticeGMG(
+                self.ls_space.n_nodes_axis,
+                self.mesh.h / max(self.parameters.concentration_subdivisions, 1),
+                self.constraints_ls.constrained_dofs,
+                self.ls_space.n_dofs_padded,
+            )
+            self._helper_gmg_compute = jax.jit(
+                lambda coeff: self._ls_gmg.compute(jnp.float64(1.0), coeff)
+            )
+
         @jax.jit
         def residual_fn(c, w, c_old, c_old_old, u, tw, bdf2_flag):
             rc, rw, conv, c_star, c_star_face = residual(
@@ -272,16 +311,20 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
         self._residual_fn = residual_fn
 
         @jax.jit
-        def solve_fn(rc, rw, conv, c_star, c_star_face, tw, helper_d, helper_lam, tol):
+        def solve_fn(rc, rw, conv, c_star, c_star_face, tw, helper_state, tol):
             _, f_mob, _, f4 = factors(tw)
             delta_eps = jnp.sqrt(f_mob / f4)
             A = lambda x: vmult(x[0], x[1], conv, c_star, c_star_face, tw)
-            helper = ChebyshevPreconditioner(
-                lambda x: helper_vmult(x, jnp.sqrt(f_mob * f4)),
-                helper_d,
-                helper_lam,
-                degree=5,
-            )
+            if self._ls_gmg is not None:
+                helper = lambda r: self._ls_gmg.vmult(helper_state, r)
+            else:
+                helper_d, helper_lam = helper_state
+                helper = ChebyshevPreconditioner(
+                    lambda x: helper_vmult(x, jnp.sqrt(f_mob * f4)),
+                    helper_d,
+                    helper_lam,
+                    degree=5,
+                )
 
             def M2(src):
                 """BlockPreconditionerSimple (phase_field.cc:373-404):
@@ -308,6 +351,12 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
 
         @jax.jit
         def force_fn(c, w):
+            # plain reads: the stored solution carries the physical inflow
+            # values. (The reference reads through its constraints here,
+            # phase_field_local.cc:74,107, which zeroes the fluid-type
+            # Dirichlet dofs and produces its slightly different
+            # concentration extrema near the inflow; plain reads keep the
+            # NS residual anchors and all interface diagnostics identical.)
             cc = self._gather(c)
             wv = self.ev_c_nsq.values(self._gather(w))
             use_var = par.density_diff != 0 or par.viscosity_diff != 0
@@ -363,9 +412,10 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
             f_mob = par.diffusion_length**2 / ts.weight()
             f4 = 0.75 * par.surface_tension * self.epsilon_used
             coeff = np.sqrt(f_mob * f4)
-            self._helper_d, self._helper_lam = self._helper_diag_fn(
-                jnp.float64(coeff)
-            )
+            if self._ls_gmg is not None:
+                self._helper_state = self._helper_gmg_compute(jnp.float64(coeff))
+            else:
+                self._helper_state = self._helper_diag_fn(jnp.float64(coeff))
             self._prec_coeff = coeff
         assert par.ch_do_newton, "Eyre convexity splitting not implemented"
         for i in range(par.max_nl_iteration):
@@ -388,8 +438,7 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
                 self._c_star,
                 self._c_star_face,
                 tw,
-                self._helper_d,
-                self._helper_lam,
+                self._helper_state,
                 jnp.float64(tol),
             )
             dc = self.constraints_ls.distribute(dc)

@@ -316,3 +316,32 @@ def test_beltrami_2d_amr_full_anchors():
         "||e_u||_L2 = 1.378e-05",
     ):
         assert anchor in out, anchor
+
+
+def test_phasefield_poiseuille_golden():
+    """Moving-contact-line channel (Cahn-Hilliard with wetting), 3 steps on
+    the reference configuration (phasefield_poiseuille.cc). Reference
+    anchors reproduced exactly: header dof counts, every t=0 diagnostic
+    (circularity 4.6894721), the capillary time-step sequence
+    (0.156/0.154/0.152) and the per-step interface positions/angles/contact
+    velocity to all printed digits; CH Newton residual trajectories match to
+    3 digits with our GMG helper converging in fewer iterations."""
+    from adaflo_tpu.drivers.phasefield_poiseuille import ChannelProblem
+    from adaflo_tpu.drivers.rising_bubble import TwoPhaseParameters
+    import io
+
+    par = TwoPhaseParameters.from_file(str(PRMS / "phasefield_poiseuille.prm"))
+    par.output_filename = ""
+    buf = io.StringIO()
+    prob = ChannelProblem(par, out=buf)
+    prob.run(n_steps=3)
+    text = buf.getvalue()
+    # hard reference anchors (phasefield_poiseuille.output)
+    assert "Number of Navier-Stokes degrees of freedom: 28291 (25090 + 3201)." in text
+    assert "Number of phase field degrees of freedom: 6402 (3201 + 3201)." in text
+    assert "Degree of circularity: 4.6894721" in text
+    assert "(dt = 0.156)" in text and "(dt = 0.154)" in text and "(dt = 0.152)" in text
+    assert "Interface location lower wall/angle:  2.561 / 122.8" in text
+    assert "Interface location upper wall/angle:  2.561 / 57.17" in text
+    assert "Interface velocity:                   0.3898" in text
+    compare_with_golden(text, GOLDEN / "phasefield_poiseuille.output")
