@@ -4,8 +4,9 @@ Mirrors /root/reference/applications/drivencavity.cc: stationary
 Navier-Stokes in the unit cavity with a regularized lid velocity
 (cosine-smoothed so the corners are compatible), pressure fixed at the
 boundary; one stationary solve per mesh inside a pressure-based AMR loop
-(the AMR refinement becomes active with the forest mesh; until then each
-adaptivity round re-solves the uniform mesh).
+on the adaptive forest (Kelly pressure-jump indicators ->
+refine_and_coarsen_fixed_number -> adapt_mesh with solution transfer,
+exactly the reference loop drivencavity.cc:384-412).
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ import sys
 
 import numpy as np
 
-from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.mesh.forest import ForestMesh
 from adaflo_tpu.parameters import FlowParameters
 from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
 
@@ -40,7 +41,7 @@ class DrivenCavityProblem:
         if parameters.global_refinements % 4 != 0:
             raise ValueError("elements per direction must be divisible by 4")
         n = parameters.global_refinements // 4
-        self.mesh = StructuredMesh((n,) * dim, (0.0,) * dim, (1.0,) * dim)
+        self.mesh = ForestMesh((n,) * dim, (0.0,) * dim, (1.0,) * dim)
         self.mesh.refine_global(2)
         # the solver's setup_problem must not refine again
         parameters.global_refinements = 0
@@ -52,11 +53,13 @@ class DrivenCavityProblem:
         ns.fix_pressure_constant(0)
         ns.setup_problem()
         rounds = self.parameters.adaptive_refinements + 1
-        for _ in range(rounds):
+        for r in range(rounds):
             ns.print_n_dofs()
             ns.advance_time_step()
             ns.output_solution(self.parameters.output_filename)
             ns.refine_grid_pressure_based(100, 0.1, 0)
+            # stationary pseudo-time: each mesh gets a fresh solve window
+            ns.time_stepping.restart()
 
 
 def main(argv=None) -> None:

@@ -805,9 +805,32 @@ class NavierStokes(FlowBaseAlgorithm):
         """Kelly-style pressure-jump error indicators
         (navier_stokes.cc:1322-1369): per-cell estimate from the jump of the
         pressure normal gradient across interior faces. Returns the
-        indicator array; the mesh adaptation itself activates with the
-        forest (AMR) mesh — on the uniform lattice this records indicators
-        for diagnostics and is otherwise a no-op."""
+        indicator array; on a forest mesh it marks cells
+        (refine_and_coarsen_fixed_number semantics) and ADAPTS the mesh,
+        transferring the solution — on the uniform lattice it records
+        indicators for diagnostics and is otherwise a no-op."""
+        if self.is_forest:
+            from adaflo_tpu.fe.forest_estimate import (
+                kelly_indicator,
+                refine_and_coarsen_fixed_number,
+            )
+
+            p_con = self.constraints_p.distribute_values(self.solution[1])
+            eta2 = kelly_indicator(
+                self.p_space,
+                np.asarray(p_con),
+                self.parameters.velocity_degree + 2,
+            )
+            self.last_error_indicators = np.sqrt(eta2)
+            flags = refine_and_coarsen_fixed_number(
+                self.p_space,
+                eta2,
+                refine_fraction_of_cells,
+                coarsen_fraction_of_cells,
+                max_grid_level,
+            )
+            self.adapt_mesh(flags)
+            return self.last_error_indicators
         p = np.asarray(self.solution[1])[: self.p_space.n_dofs]
         lat_shape = tuple(reversed(self.p_space.n_nodes_axis))
         P = p.reshape(lat_shape)

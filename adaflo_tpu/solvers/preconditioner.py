@@ -316,9 +316,17 @@ class NavierStokesPreconditioner:
     # -- pieces ---------------------------------------------------------
     def _u_approx_inverse(self, st: PrecState, ru, tw, do_inner: bool):
         uA = lambda v: self.op.velocity_vmult(v, tw, st.lin, st.coeffs)
-        if st.u_gmg is not None:
-            # 'amg linear' selection: one GMG V-cycle per component
-            # (ns_prec.cc velocity AMG apply)
+        # 'amg linear': one GMG V-cycle per component (ns_prec.cc velocity
+        # AMG apply). The V-cycle smooths the alpha M + beta K model, which
+        # tracks the transient velocity block well; for the stationary
+        # (convection-dominated, no mass) block the Chebyshev polynomial of
+        # the TRUE operator is the more robust choice, so GMG is gated to
+        # transient runs.
+        use_gmg_here = (
+            st.u_gmg is not None
+            and self.parameters.physical_type != PhysicalType.incompressible_stationary
+        )
+        if use_gmg_here:
             M = lambda r: jnp.stack(
                 [
                     self.u_gmg_geom[c].vmult(st.u_gmg[c], r[c])

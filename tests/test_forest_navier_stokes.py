@@ -212,3 +212,62 @@ def test_adapt_mesh_transfer_preserves_solution():
     assert ns.adapt_mesh(flags)
     u1 = np.asarray(ns.solution[0])[:, : ns.u_space.n_dofs]
     assert np.abs(u1 - _u_exact(ns.u_space.node_coords)).max() < 1e-12
+
+
+def test_drivencavity_amr_loop():
+    """The reference's drivencavity AMR loop (drivencavity.cc:384-412) on
+    the forest: stationary solve -> Kelly pressure indicators ->
+    refine_and_coarsen_fixed_number -> adapt + transfer -> re-solve. The
+    mesh must refine near the lid corners (largest pressure gradients) and
+    every solve must converge."""
+    import io
+
+    from adaflo_tpu.applications.drivencavity import DrivenCavityProblem
+
+    par = FlowParameters.from_string(
+        """
+subsection Time stepping
+  set end time = 1
+  set step size = 1
+end
+subsection Navier-Stokes
+  set physical type      = incompressible stationary
+  set dimension          = 2
+  set global refinements = 8
+  set adaptive refinements = 1
+  set velocity degree    = 2
+  set viscosity          = 0.05
+  subsection Solver
+    set NL max iterations  = 15
+    set NL tolerance       = 1.e-8
+    set lin max iterations = 150
+    set lin tolerance      = 1.e-4
+  end
+end
+subsection Output options
+  set output verbosity = 1
+end
+"""
+    )
+    par.output_filename = ""
+    buf = io.StringIO()
+    prob = DrivenCavityProblem(par, out=buf)
+    prob.run()
+    text = buf.getvalue()
+    assert text.count("conv.]") == 2
+    cells = [
+        int(l.split(":")[1].strip(" ."))
+        for l in text.splitlines()
+        if "active cells" in l
+    ]
+    assert len(cells) == 2 and cells[1] > cells[0]
+    ns = prob.navier_stokes
+    assert len(ns.u_space.hanging_slave) > 0
+    # the refined cells concentrate near the lid (y close to 1): the
+    # pressure singularities sit at the two upper corners
+    fine = ns.mesh.cell_geometry()[0][
+        prob.navier_stokes.u_space.levels == ns.u_space.levels.max()
+    ]
+    assert np.median(fine[:, 1]) > 0.5
+    u = np.asarray(ns.solution[0])
+    assert np.isfinite(u).all()
