@@ -325,6 +325,11 @@ class NavierStokesPreconditioner:
         use_gmg_here = (
             st.u_gmg is not None
             and self.parameters.physical_type != PhysicalType.incompressible_stationary
+            # variable-coefficient (two-phase) velocity blocks: the per-cell
+            # averaged alpha M + beta K model underperforms Chebyshev on the
+            # true operator (rising-bubble solves hit the iteration cap), so
+            # GMG smoothing is kept for constant-coefficient runs
+            and st.coeffs.rho is None
         )
         if use_gmg_here:
             M = lambda r: jnp.stack(
