@@ -59,3 +59,12 @@ def shard_solver_state(ns, mesh: Mesh, axis_name: str = "cells") -> None:
     if op.pressure_fix_mode is not None:
         mode, weights, inv = op.pressure_fix_mode
         op.pressure_fix_mode = (_put(mode, vec_p), _put(weights, vec_p), inv)
+
+    # adaptive-forest operators gather through explicit index maps; the
+    # cell axis shards directly, which requires n_cells % n_devices == 0
+    # (cell-count padding with zero-JxW ghost cells is the round-3 lift)
+    from adaflo_tpu.ops.lattice import IndexMapOps
+
+    if isinstance(op.lat_u, IndexMapOps):
+        op.lat_u.cd = _put(op.lat_u.cd, cells)
+        op.lat_p.cd = _put(op.lat_p.cd, cells)

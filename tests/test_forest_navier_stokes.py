@@ -271,3 +271,33 @@ end
     assert np.median(fine[:, 1]) > 0.5
     u = np.asarray(ns.solution[0])
     assert np.isfinite(u).all()
+
+
+def test_forest_sharded_step_multichip():
+    """The adaptive (hanging-node) NS step sharded over the 8-device CPU
+    mesh: GSPMD partitions the index-map gather/scatter kernels; one full
+    time step must run and remain hanging-consistent."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    from adaflo_tpu.parallel.sharding import shard_solver_state, solver_mesh
+
+    par = _transient_parameters()
+    fm = ForestMesh((2, 2), (0.0, 0.0), (1.0, 1.0))
+    fm.refine_global(1)
+    ns = NavierStokes(par, fm, pad_dofs_to=8)
+    ns.set_velocity_dirichlet_boundary(0, lambda x, t: _u_exact(x))
+    ns.fix_pressure_constant(0)
+    ns.setup_problem()
+    centers, _ = fm.cell_geometry()
+    # refine the left half: 16 + 8*3 = 40 cells, divisible by the 8-device
+    # mesh (cell index maps shard on the cell axis)
+    assert ns.adapt_mesh((centers[:, 0] < 0.5).astype(np.int8))
+    assert ns.mesh.n_cells % 8 == 0 and len(ns.u_space.hanging_slave) > 0
+    mesh = solver_mesh(jax.devices()[:8])
+    shard_solver_state(ns, mesh)
+    ns.user_rhs[0] = _body_force(ns)
+    ns.advance_time_step()
+    u = np.asarray(ns.solution[0])
+    assert np.isfinite(u).all() and np.abs(u).max() > 0.1
