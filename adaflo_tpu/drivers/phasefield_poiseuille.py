@@ -90,7 +90,6 @@ class ChannelProblem:
 
     def output_results(self) -> None:
         solver = self.solver
-        par = self.parameters
         sp = solver.ls_space
         deg = sp.degree
         h = self.mesh.h

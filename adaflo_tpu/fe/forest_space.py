@@ -26,7 +26,7 @@ from typing import Optional
 
 import numpy as np
 
-from adaflo_tpu.fe.basis import LagrangeBasis1D, gauss_lobatto_points
+from adaflo_tpu.fe.basis import LagrangeBasis1D
 from adaflo_tpu.fe.constraints import Constraints
 from adaflo_tpu.mesh.forest import ForestMesh
 
