@@ -26,6 +26,15 @@ import jax as _jax
 if not _os.environ.get("ADAFLO_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS even where a TPU plugin force-overrides the env var
+# (pinning through jax.config before backend init always wins); CLI users
+# select e.g. JAX_PLATFORMS=cpu for f64 runs on hosts whose TPU lacks f64.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized; too late to repin
+
 from adaflo_tpu.parameters import FlowParameters
 from adaflo_tpu.time_stepping import TimeStepping, TimeSteppingScheme
 

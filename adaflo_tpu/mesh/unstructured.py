@@ -1,0 +1,353 @@
+"""Unstructured quadrilateral meshes with manifold-aware refinement.
+
+TPU-native counterpart of deal.II's Triangulation + GridGenerator +
+Manifold machinery for the *unstructured* configurations of the reference
+test suite: flow_past_cylinder.cc builds its mesh by merging structured
+rectangles with a refined hyper_shell around the cylinder and attaches a
+PolarManifold to the cylinder boundary
+(/root/reference/tests/flow_past_cylinder.cc:181-280). Cells carry explicit
+vertex coordinates; curved geometry enters through per-edge manifold ids
+that steer where refinement places new points, exactly like deal.II:
+
+- new edge midpoints come from the edge's manifold (polar for cylinder
+  edges, straight average otherwise),
+- new cell centers are the mean of the cell's 4 vertices and 4 edge
+  midpoints (deal.II FlatManifold behavior; verified against the vertex
+  coordinates hard-coded in flow_past_cylinder.cc:227-240, e.g.
+  (0.56379, 0.13621) = shell center + 0.0902 * (cos -45, sin -45)).
+
+Cell-local vertex order is lexicographic — v0=(0,0), v1=(1,0), v2=(0,1),
+v3=(1,1) on the reference square — matching the rest of the framework.
+Device kernels never see this class; fe/mapped_space.py turns it into dof
+index maps and per-cell mapping support points.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Manifolds
+class FlatManifold:
+    def get_intermediate(self, p0: np.ndarray, p1: np.ndarray, t: float):
+        return (1.0 - t) * p0 + t * p1
+
+
+class PolarManifold:
+    """Polar coordinates around a center: intermediate points interpolate
+    radius and angle (along the shorter arc) — deal.II PolarManifold<2>."""
+
+    def __init__(self, center) -> None:
+        self.center = np.asarray(center, dtype=np.float64)
+
+    def get_intermediate(self, p0: np.ndarray, p1: np.ndarray, t: float):
+        d0 = p0 - self.center
+        d1 = p1 - self.center
+        r0 = np.hypot(d0[0], d0[1])
+        r1 = np.hypot(d1[0], d1[1])
+        a0 = np.arctan2(d0[1], d0[0])
+        a1 = np.arctan2(d1[1], d1[0])
+        da = a1 - a0
+        if da > np.pi:
+            da -= 2 * np.pi
+        elif da < -np.pi:
+            da += 2 * np.pi
+        r = (1.0 - t) * r0 + t * r1
+        a = a0 + t * da
+        return self.center + r * np.array([np.cos(a), np.sin(a)])
+
+
+# ---------------------------------------------------------------------------
+class QuadMesh:
+    """2D unstructured quadrilateral mesh.
+
+    vertices: (V, 2) float64; cells: (E, 4) int64 in lexicographic local
+    order. Edges are identified by their sorted vertex pair; boundary and
+    manifold ids live on edges (boundary ids only meaningful on boundary
+    edges). Local edges of a cell, in order: bottom (v0,v1), top (v2,v3),
+    left (v0,v2), right (v1,v3)."""
+
+    _LOCAL_EDGES = ((0, 1), (2, 3), (0, 2), (1, 3))
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray) -> None:
+        self.dim = 2
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.cells = np.asarray(cells, dtype=np.int64)
+        self.manifolds: Dict[int, object] = {}
+        self._edge_boundary_id: Dict[Tuple[int, int], int] = {}
+        self._edge_manifold_id: Dict[Tuple[int, int], int] = {}
+        self.periodic = [False, False]
+        self._rebuild_edges()
+
+    # -- topology -----------------------------------------------------------
+    def _rebuild_edges(self) -> None:
+        """Edge table + boundary edges (edges adjacent to exactly one cell)."""
+        count: Dict[Tuple[int, int], int] = {}
+        for cell in self.cells:
+            for (a, b) in self._LOCAL_EDGES:
+                key = (min(cell[a], cell[b]), max(cell[a], cell[b]))
+                count[key] = count.get(key, 0) + 1
+        self.edge_keys = sorted(count.keys())
+        self.edge_index = {k: i for i, k in enumerate(self.edge_keys)}
+        self.boundary_edge_keys = [k for k in self.edge_keys if count[k] == 1]
+        # drop stale id entries for edges that no longer exist
+        self._edge_boundary_id = {
+            k: v for k, v in self._edge_boundary_id.items() if k in count
+        }
+        self._edge_manifold_id = {
+            k: v for k, v in self._edge_manifold_id.items() if k in count
+        }
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_keys)
+
+    @property
+    def cell_diameter(self) -> float:
+        """Diameter of the smallest cell (max diagonal length)."""
+        v = self.vertices[self.cells]  # (E, 4, 2)
+        d1 = np.linalg.norm(v[:, 3] - v[:, 0], axis=1)
+        d2 = np.linalg.norm(v[:, 2] - v[:, 1], axis=1)
+        return float(np.maximum(d1, d2).min())
+
+    @property
+    def last_cell_diameter(self) -> float:
+        """Diameter of the last cell (deal.II triangulation.last()->diameter(),
+        printed by the reference as 'Approximate size last cell',
+        navier_stokes.cc:174)."""
+        v = self.vertices[self.cells[-1]]
+        return float(
+            max(np.linalg.norm(v[3] - v[0]), np.linalg.norm(v[2] - v[1]))
+        )
+
+    def cell_centers(self) -> np.ndarray:
+        return self.vertices[self.cells].mean(axis=1)
+
+    # -- ids ------------------------------------------------------------------
+    def _edge_key(self, a: int, b: int) -> Tuple[int, int]:
+        return (min(a, b), max(a, b))
+
+    def edge_midpoint_flat(self, key: Tuple[int, int]) -> np.ndarray:
+        return 0.5 * (self.vertices[key[0]] + self.vertices[key[1]])
+
+    def set_manifold(self, manifold_id: int, manifold) -> None:
+        self.manifolds[manifold_id] = manifold
+
+    def edge_manifold(self, key: Tuple[int, int]):
+        mid = self._edge_manifold_id.get(key, -1)
+        return self.manifolds.get(mid, _FLAT)
+
+    def for_each_boundary_edge(self, fn: Callable) -> None:
+        """fn(key, center) for every boundary edge; center is the straight
+        midpoint (deal.II face->center() of a straight face)."""
+        for key in self.boundary_edge_keys:
+            fn(key, self.edge_midpoint_flat(key))
+
+    def set_boundary_id_by_center(
+        self, predicate: Callable[[np.ndarray], bool], boundary_id: int
+    ) -> None:
+        for key in self.boundary_edge_keys:
+            if predicate(self.edge_midpoint_flat(key)):
+                self._edge_boundary_id[key] = boundary_id
+
+    def set_manifold_id_by_center(
+        self, predicate: Callable[[np.ndarray], bool], manifold_id: int
+    ) -> None:
+        for key in self.edge_keys:
+            if predicate(self.edge_midpoint_flat(key)):
+                self._edge_manifold_id[key] = manifold_id
+
+    def boundary_id(self, key: Tuple[int, int]) -> int:
+        return self._edge_boundary_id.get(key, 0)
+
+    def boundary_edges_with_id(self, boundary_id: int) -> List[Tuple[int, int]]:
+        return [
+            k for k in self.boundary_edge_keys if self.boundary_id(k) == boundary_id
+        ]
+
+    def all_boundary_ids(self) -> set:
+        return {self.boundary_id(k) for k in self.boundary_edge_keys}
+
+    def set_periodic(self, axis: int) -> None:
+        raise NotImplementedError(
+            "periodicity on unstructured meshes is not supported; use "
+            "StructuredMesh for periodic directions"
+        )
+
+    # -- refinement -----------------------------------------------------------
+    def refine_global(self, times: int = 1) -> None:
+        for _ in range(times):
+            self._refine_once()
+
+    def _refine_once(self) -> None:
+        verts = list(self.vertices)
+        new_of_edge: Dict[Tuple[int, int], int] = {}
+
+        def edge_mid(a: int, b: int) -> int:
+            key = self._edge_key(a, b)
+            if key not in new_of_edge:
+                man = self.edge_manifold(key)
+                p = man.get_intermediate(self.vertices[key[0]], self.vertices[key[1]], 0.5)
+                new_of_edge[key] = len(verts)
+                verts.append(p)
+            return new_of_edge[key]
+
+        new_cells = []
+        child_edge_ids: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        for cell in self.cells:
+            v0, v1, v2, v3 = (int(c) for c in cell)
+            mb = edge_mid(v0, v1)
+            mt = edge_mid(v2, v3)
+            ml = edge_mid(v0, v2)
+            mr = edge_mid(v1, v3)
+            # cell center: mean of the 4 vertices + 4 edge midpoints
+            # (deal.II FlatManifold cell refinement; see module docstring)
+            c = (
+                self.vertices[v0]
+                + self.vertices[v1]
+                + self.vertices[v2]
+                + self.vertices[v3]
+                + verts[mb]
+                + verts[mt]
+                + verts[ml]
+                + verts[mr]
+            ) / 8.0
+            vc = len(verts)
+            verts.append(c)
+            new_cells.append([v0, mb, ml, vc])
+            new_cells.append([mb, v1, vc, mr])
+            new_cells.append([ml, vc, v2, mt])
+            new_cells.append([vc, mr, mt, v3])
+            # child boundary/manifold ids: each parent edge splits into two
+            for (a, b) in self._LOCAL_EDGES:
+                pa, pb = int(cell[a]), int(cell[b])
+                key = self._edge_key(pa, pb)
+                m = new_of_edge[key]
+                for child in ((pa, m), (m, pb)):
+                    ck = self._edge_key(*child)
+                    child_edge_ids[ck] = (
+                        self._edge_boundary_id.get(key, None),
+                        self._edge_manifold_id.get(key, None),
+                    )
+
+        self.vertices = np.asarray(verts)
+        self.cells = np.asarray(new_cells, dtype=np.int64)
+        old_b, old_m = self._edge_boundary_id, self._edge_manifold_id
+        self._edge_boundary_id = {}
+        self._edge_manifold_id = {}
+        for ck, (bid, mid) in child_edge_ids.items():
+            if bid is not None:
+                self._edge_boundary_id[ck] = bid
+            if mid is not None:
+                self._edge_manifold_id[ck] = mid
+        self._rebuild_edges()
+
+    # -- generators ------------------------------------------------------------
+    @classmethod
+    def subdivided_hyper_rectangle(
+        cls, subdivisions, bottom_left, top_right
+    ) -> "QuadMesh":
+        nx, ny = subdivisions
+        x = np.linspace(bottom_left[0], top_right[0], nx + 1)
+        y = np.linspace(bottom_left[1], top_right[1], ny + 1)
+        X, Y = np.meshgrid(x, y, indexing="xy")  # (ny+1, nx+1)
+        verts = np.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+
+        def vid(i, j):
+            return j * (nx + 1) + i
+
+        cells = []
+        for j in range(ny):
+            for i in range(nx):
+                cells.append([vid(i, j), vid(i + 1, j), vid(i, j + 1), vid(i + 1, j + 1)])
+        return cls(verts, np.asarray(cells))
+
+    @classmethod
+    def hyper_shell(
+        cls, center, inner_radius: float, outer_radius: float, n_cells: int
+    ) -> "QuadMesh":
+        """Annulus of n_cells quads, vertices at angles 2*pi*i/n on both
+        circles (deal.II GridGenerator::hyper_shell<2>). No manifolds are
+        attached (callers reset/attach them, mirroring the reference's
+        reset_all_manifolds + per-face assignment)."""
+        center = np.asarray(center, dtype=np.float64)
+        ang = 2.0 * np.pi * np.arange(n_cells) / n_cells
+        inner = center + inner_radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        outer = center + outer_radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        verts = np.concatenate([inner, outer], axis=0)
+        cells = []
+        for i in range(n_cells):
+            j = (i + 1) % n_cells
+            # lexicographic local order with x ~ radial, y ~ angular
+            # (counter-clockwise), giving det J > 0
+            cells.append([i, n_cells + i, j, n_cells + j])
+        return cls(verts, np.asarray(cells))
+
+    @classmethod
+    def merge(cls, meshes: List["QuadMesh"], tol: float = 1e-10) -> "QuadMesh":
+        """Merge triangulations, deduplicating coincident vertices
+        (GridGenerator::merge_triangulations; ids are NOT transferred —
+        callers re-assign geometrically, as the reference drivers do)."""
+        verts = np.concatenate([m.vertices for m in meshes], axis=0)
+        offs = np.cumsum([0] + [m.n_vertices for m in meshes])
+        cells = np.concatenate(
+            [m.cells + offs[i] for i, m in enumerate(meshes)], axis=0
+        )
+        # dedupe by rounded coordinates
+        key = np.round(verts / tol).astype(np.int64)
+        _, first, inverse = np.unique(
+            key, axis=0, return_index=True, return_inverse=True
+        )
+        # keep first occurrence order for reproducibility
+        order = np.argsort(first)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        new_verts = verts[np.sort(first)]
+        new_cells = rank[inverse][cells]
+        return cls(new_verts, new_cells)
+
+    def moved_vertices(
+        self, moves: List[Tuple[Tuple[float, float], Tuple[float, float], float]]
+    ) -> None:
+        """Move vertices matching (old_position, new_position, tol) — the
+        reference's post-hoc vertex adjustment idiom
+        (flow_past_cylinder.cc:205-240)."""
+        for old, new, tol in moves:
+            old = np.asarray(old)
+            d = np.abs(self.vertices - old[None, :]).max(axis=1)
+            hit = d < tol
+            self.vertices[hit] = np.asarray(new)
+
+    def distort_random(self, factor: float, seed: int = 0) -> None:
+        """Randomly perturb interior vertices by factor * local edge length
+        (GridTools::distort_random counterpart, for testing mapped kernels)."""
+        rng = np.random.RandomState(seed)
+        boundary_verts = set()
+        for (a, b) in self.boundary_edge_keys:
+            boundary_verts.add(a)
+            boundary_verts.add(b)
+        # min incident edge length per vertex
+        minlen = np.full(self.n_vertices, np.inf)
+        for (a, b) in self.edge_keys:
+            l = np.linalg.norm(self.vertices[a] - self.vertices[b])
+            minlen[a] = min(minlen[a], l)
+            minlen[b] = min(minlen[b], l)
+        for v in range(self.n_vertices):
+            if v in boundary_verts:
+                continue
+            self.vertices[v] += factor * minlen[v] * (rng.rand(2) - 0.5)
+        self._rebuild_edges()
+
+
+_FLAT = FlatManifold()

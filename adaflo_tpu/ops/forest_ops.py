@@ -22,6 +22,17 @@ from adaflo_tpu.fe.forest_space import ForestSpace
 from adaflo_tpu.ops.tensor import VariableCellEvaluator
 
 
+def evaluator_for(space, n_q_1d: int, dtype=None):
+    """Per-cell-geometry evaluator for a space on the general index-map
+    path: MappedEvaluator for unstructured (curved) meshes,
+    VariableCellEvaluator for axis-aligned forest cells."""
+    if getattr(space, "is_mapped", False):
+        from adaflo_tpu.ops.mapped import MappedEvaluator
+
+        return MappedEvaluator(space.dim, space.basis, n_q_1d, space.mapping, dtype)
+    return VariableCellEvaluator(space.dim, space.basis, n_q_1d, space.h_cells, dtype)
+
+
 class ForestHelmholtzOperator:
     """alpha * mass + beta * stiffness on a ForestSpace, constrained.
 
@@ -39,9 +50,7 @@ class ForestHelmholtzOperator:
         self.space = space
         self.con = constraints
         nq = n_q_1d or (space.degree + 1)
-        self.ev = VariableCellEvaluator(
-            space.dim, space.basis, nq, space.h_cells, dtype=dtype
-        )
+        self.ev = evaluator_for(space, nq, dtype=dtype)
         self.cell_dofs = jnp.asarray(space.cell_dofs)
         self.n = space.n_dofs_padded
 

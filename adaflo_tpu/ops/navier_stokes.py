@@ -93,28 +93,24 @@ class NavierStokesOperator:
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
-        self.is_forest = getattr(u_space, "is_forest", False)
+        self.is_forest = getattr(u_space, "is_forest", False) or getattr(
+            u_space, "is_mapped", False
+        )
         # quadrature with p+2 points: exact enough for the convective term
         # (mirrors FEEvaluation<dim, degree_p+1, degree_p+2>)
         if self.is_forest:
-            # adaptive forest: per-cell geometry + index-map gather/scatter
+            # general index-map path: adaptive forests (per-cell Cartesian
+            # geometry) and unstructured/curved meshes (full Jacobians)
             if parameters.augmented_taylor_hood:
                 raise NotImplementedError(
                     "augmented Taylor-Hood on adaptive forests is not "
                     "yet supported"
                 )
-            from adaflo_tpu.ops.tensor import VariableCellEvaluator
+            from adaflo_tpu.ops.forest_ops import evaluator_for
 
-            hc = u_space.h_cells
-            self.ev_u = VariableCellEvaluator(
-                self.dim, u_space.basis, deg_p + 2, hc, dtype
-            )
-            self.ev_p = VariableCellEvaluator(
-                self.dim, p_space.basis, deg_p + 2, hc, dtype
-            )
-            self.ev_p_low = VariableCellEvaluator(
-                self.dim, p_space.basis, deg_p + 1, hc, dtype
-            )
+            self.ev_u = evaluator_for(u_space, deg_p + 2, dtype)
+            self.ev_p = evaluator_for(p_space, deg_p + 2, dtype)
+            self.ev_p_low = evaluator_for(p_space, deg_p + 1, dtype)
             from adaflo_tpu.ops.lattice import IndexMapOps
 
             self.lat_u = IndexMapOps.for_space(u_space)

@@ -83,6 +83,12 @@ class NavierStokes(FlowBaseAlgorithm):
 
         return isinstance(self.mesh, ForestMesh)
 
+    @property
+    def is_mapped(self) -> bool:
+        from adaflo_tpu.mesh.unstructured import QuadMesh
+
+        return isinstance(self.mesh, QuadMesh)
+
     def setup_problem(self, initial_velocity_fn=None) -> None:
         par = self.parameters
         mesh = self.mesh
@@ -102,7 +108,21 @@ class NavierStokes(FlowBaseAlgorithm):
         current mesh (re-entered after forest adaptation)."""
         par = self.parameters
         mesh = self.mesh
-        if self.is_forest:
+        if self.is_mapped:
+            from adaflo_tpu.fe.mapped_space import CellMapping, MappedSpace
+
+            bd = self.boundary
+            if bd.symmetry or bd.normal_flux or bd.periodic_axes:
+                raise NotImplementedError(
+                    "unstructured-mesh NS currently supports Dirichlet/"
+                    "no-slip/open boundaries and pressure fix"
+                )
+            # one mapping shared by velocity and pressure (the reference's
+            # single MappingQ(3), flow_base_algorithm.cc:44-46)
+            self.cell_mapping = CellMapping(mesh, degree=3)
+            self.u_space = MappedSpace(mesh, par.velocity_degree, self.cell_mapping)
+            self.p_space = MappedSpace(mesh, par.pressure_degree, self.cell_mapping)
+        elif self.is_forest:
             from adaflo_tpu.fe.forest_space import ForestSpace
 
             bd = self.boundary
@@ -275,9 +295,14 @@ class NavierStokes(FlowBaseAlgorithm):
 
         prec = self.preconditioner
 
-        def solve_fn(rhs_u, rhs_p, tw, state, tol, do_inner, max_iter):
-            A = lambda x: op.vmult(x[0], x[1], tw, state.lin, state.coeffs)
-            M = lambda r: prec.apply(state, r, tw, do_inner)
+        def solve_fn(rhs_u, rhs_p, tw, state, lin, tol, do_inner, max_iter, u_robust):
+            # the system matrix linearizes around the CURRENT iterate (lin,
+            # refreshed by every residual evaluation) while the
+            # preconditioner keeps its frozen copy in `state` — exactly the
+            # reference's fix_linearization_point semantics
+            # (navier_stokes_matrix.cc:1144-1152)
+            A = lambda x: op.vmult(x[0], x[1], tw, lin, state.coeffs)
+            M = lambda r: prec.apply(state, r, tw, do_inner, u_robust)
             x0 = (jnp.zeros_like(rhs_u), jnp.zeros_like(rhs_p))
             res = fgmres(A, (rhs_u, rhs_p), x0, tol, max_iter, restart=50, M=M)
             du, dp = res.x
@@ -287,7 +312,7 @@ class NavierStokes(FlowBaseAlgorithm):
             return du, dp, res.iterations, res.residual, res.converged
 
         self._solve_fn = jax.jit(
-            solve_fn, static_argnames=("do_inner", "max_iter")
+            solve_fn, static_argnames=("do_inner", "max_iter", "u_robust")
         )
 
         @jax.jit
@@ -298,7 +323,7 @@ class NavierStokes(FlowBaseAlgorithm):
 
         if par.linearization == Linearization.projection:
             @jax.jit
-            def solve_projection_fn(rhs_u, sol_u, tw, state):
+            def solve_projection_fn(rhs_u, sol_u, tw, state, lin):
                 return prec.solve_projection_system(
                     state,
                     sol_u,
@@ -309,6 +334,7 @@ class NavierStokes(FlowBaseAlgorithm):
                     par.time_step_size_start,
                     self.constraints_u,
                     self.constraints_schur,
+                    lin,
                 )
 
             self._solve_projection_fn = solve_projection_fn
@@ -331,7 +357,10 @@ class NavierStokes(FlowBaseAlgorithm):
 
     def print_n_dofs(self) -> None:
         nu, npp = self.n_dofs
-        min_cell_diameter = self.mesh.cell_diameter
+        # the reference prints the LAST cell's diameter (navier_stokes.cc:174)
+        min_cell_diameter = getattr(
+            self.mesh, "last_cell_diameter", self.mesh.cell_diameter
+        )
         self._p(f" Number of active cells: {self.mesh.n_cells}.")
         self._p(
             f" Number of degrees of freedom (velocity/pressure): "
@@ -398,6 +427,25 @@ class NavierStokes(FlowBaseAlgorithm):
         # traction BC sigma.n = -pbar n gives rhs -(pbar, v.n)_dOmega
         const_u = np.zeros((self.dim, u_space.n_dofs_padded))
         for bid, fn in bd.open_conditions_p.items():
+            if hasattr(u_space, "boundary_face_quadrature_normals"):
+                # general (curved) faces: rhs_c = -(pbar, v_c n_c)_dOmega
+                data = u_space.boundary_face_quadrature_normals(
+                    bid, self.parameters.velocity_degree + 1
+                )
+                if data is None:
+                    continue
+                face_dofs, qcoords, V_face, jxw, normals = data
+                pbar = np.asarray(
+                    fn(qcoords.reshape(-1, self.dim), time)
+                ).reshape(len(face_dofs), -1)
+                for c in range(self.dim):
+                    contrib = -np.einsum(
+                        "fq,fq,qi,fq->fi", pbar, normals[..., c], V_face, jxw
+                    )
+                    np.add.at(
+                        const_u[c], face_dofs.reshape(-1), contrib.reshape(-1)
+                    )
+                continue
             for axis, end, face_dofs, qcoords, V_face, jxw in (
                 u_space.boundary_face_quadrature(bid, self.parameters.velocity_degree + 1)
             ):
@@ -544,11 +592,17 @@ class NavierStokes(FlowBaseAlgorithm):
         self._prec_state = self._compute_prec_fn(
             tw, self._last_lin, self.coefficients
         )
+        # convection-dominated velocity blocks defeat the real-interval
+        # Chebyshev; switch its apply to Jacobi-GMRES (the reference's ILU
+        # keeps working there, ns_prec.cc:594-665 — this is our analog)
+        growth = self._prec_state.u_cheb_growth
+        self._u_robust = bool(float(growth) > 1.0) if growth is not None else False
         v = self.parameters.output_verbosity
+        label = "GMRs" if self._u_robust else "Cheb"
         if v == 1:
-            self._p("/Cheb", end="")
+            self._p(f"/{label}", end="")
         elif v >= 2:
-            self._p("    Cheb    ", end="")
+            self._p(f"    {label}    ", end="")
 
     def solve_system(self, linear_tolerance: float):
         """Two-stage linear solve (navier_stokes.cc:559-653): cheap
@@ -562,7 +616,7 @@ class NavierStokes(FlowBaseAlgorithm):
         rhs_u, rhs_p = self.system_rhs
         if par.linearization == Linearization.projection:
             du, dp, phi, iters, res = self._solve_projection_fn(
-                rhs_u, self.solution[0], tw, self._prec_state
+                rhs_u, self.solution[0], tw, self._prec_state, self._last_lin
             )
             self.solution_update[0] = du
             self.solution_update[1] = dp
@@ -573,15 +627,18 @@ class NavierStokes(FlowBaseAlgorithm):
             return int(iters), float(res)
         tol = jnp.float64(linear_tolerance)
         cheap_iters = min(par.iterations_before_inner_solvers, par.max_lin_iteration)
+        u_robust = getattr(self, "_u_robust", False)
         du, dp, it1, res1, conv = self._solve_fn(
-            rhs_u, rhs_p, tw, self._prec_state, tol, False, cheap_iters
+            rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, False,
+            cheap_iters, u_robust,
         )
         iters = int(it1)
         residual = float(res1)
         if not bool(conv) and par.iterations_before_inner_solvers < par.max_lin_iteration:
             du, dp, it2, res2, conv = self._solve_fn(
-                rhs_u, rhs_p, tw, self._prec_state, tol, True,
+                rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, True,
                 max(par.max_lin_iteration - par.iterations_before_inner_solvers, 0),
+                u_robust,
             )
             iters += int(it2)
             residual = float(res2)

@@ -145,6 +145,11 @@ class PrecState(NamedTuple):
     coeffs: Coefficients
     u_gmg: object = None  # tuple of per-component GMGState, or None
     p_gmg: object = None  # GMGState for the pressure Poisson, or None
+    # contraction factor of the velocity-block Chebyshev as a fixed-point
+    # iteration; > 1 means the block is too nonsymmetric (convection
+    # dominated) for a real-interval Chebyshev polynomial and the apply
+    # switches to Jacobi-GMRES (the robustness role of the reference's ILU)
+    u_cheb_growth: jnp.ndarray = None
 
 
 class NavierStokesPreconditioner:
@@ -171,6 +176,15 @@ class NavierStokesPreconditioner:
             VelocityPreconditioner.u_amg,
             VelocityPreconditioner.u_amg_linear,
         )
+        if getattr(op.u_space, "is_mapped", False):
+            # unstructured/curved meshes: no geometric hierarchy yet —
+            # Chebyshev/Jacobi approximate inverses throughout (the 'ilu*'
+            # analog; flow_past_cylinder runs 'ilu scalar' in the reference
+            # too, tests/flow_past_cylinder.prm)
+            self.use_gmg = False
+            self.u_gmg_geom = None
+            self.p_gmg_geom = None
+            return
         if getattr(op.u_space, "is_forest", False):
             # adaptive forests: global-coarsening GMG on the forest level
             # hierarchy (solvers/forest_multigrid.py), the counterpart of the
@@ -234,6 +248,20 @@ class NavierStokesPreconditioner:
         uA = lambda v: op.velocity_vmult(v, tw, lin, coeffs)
         u_dinv = DiagonalPreconditioner(u_diag).inverse
         u_lmax = estimate_lambda_max(uA, u_dinv, u_diag)
+
+        # stability probe: one error-propagation step of the Chebyshev
+        # fixed-point iteration. Growth > 1 flags a convection-dominated
+        # (complex-spectrum) block where a real-interval Chebyshev diverges.
+        cheb_probe = ChebyshevPreconditioner(uA, u_diag, u_lmax, self.u_cheb_deg)
+        e0 = jnp.cos(
+            jnp.arange(u_diag.size, dtype=u_diag.dtype).reshape(u_diag.shape)
+            * 0.7
+        )
+        e1 = e0 - cheb_probe(uA(e0))
+        e2 = e1 - cheb_probe(uA(e1))
+        u_cheb_growth = jnp.sqrt(
+            jnp.sum(e2 * e2) / jnp.maximum(jnp.sum(e1 * e1), 1e-300)
+        )
 
         if par.physical_type == PhysicalType.incompressible_stationary:
             inv_rho_weight = jnp.float64(1.0)
@@ -311,11 +339,36 @@ class NavierStokesPreconditioner:
             coeffs,
             u_gmg,
             p_gmg,
+            u_cheb_growth,
         )
 
     # -- pieces ---------------------------------------------------------
-    def _u_approx_inverse(self, st: PrecState, ru, tw, do_inner: bool):
+    def _u_approx_inverse(
+        self, st: PrecState, ru, tw, do_inner: bool, u_robust: bool = False
+    ):
         uA = lambda v: self.op.velocity_vmult(v, tw, st.lin, st.coeffs)
+        if u_robust:
+            # convection-dominated block (see u_cheb_growth): a fixed-count
+            # Jacobi-preconditioned GMRES takes the role of the reference's
+            # nonsymmetry-robust ILU (ns_prec.cc velocity ILU / inner
+            # BiCgStab, cc:594-665). The outer solver is FGMRES, so a
+            # nonstationary inner iteration is admissible.
+            from adaflo_tpu.solvers.krylov import gmres as _gmres
+
+            dinv = DiagonalPreconditioner(st.u_diag).inverse
+            Mj = lambda r: dinv * r
+            n_it = 30 if do_inner else 8
+            return _gmres(
+                uA,
+                ru,
+                jnp.zeros_like(ru),
+                3e-2 * jnp.sqrt(jnp.vdot(ru, ru).real)
+                if do_inner
+                else jnp.float64(1e-50),
+                n_it,
+                restart=n_it,
+                M=Mj,
+            ).x
         # 'amg linear': one GMG V-cycle per component (ns_prec.cc velocity
         # AMG apply). The V-cycle smooths the alpha M + beta K model, which
         # tracks the transient velocity block well; for the stationary
@@ -399,13 +452,20 @@ class NavierStokesPreconditioner:
         ).x
 
     # -- application ----------------------------------------------------
-    def apply(self, st: PrecState, rhs, tw: TimeWeights, do_inner: bool):
+    def apply(
+        self,
+        st: PrecState,
+        rhs,
+        tw: TimeWeights,
+        do_inner: bool,
+        u_robust: bool = False,
+    ):
         """Apply the block-triangular preconditioner to (ru, rp). Pure in
-        (st, rhs, tw); do_inner is a static Python bool."""
+        (st, rhs, tw); do_inner and u_robust are static Python bools."""
         par = self.parameters
         ru, rp = rhs
 
-        du = self._u_approx_inverse(st, ru, tw, do_inner)
+        du = self._u_approx_inverse(st, ru, tw, do_inner, u_robust)
         # temp = -rp + B du (ns_prec.cc:670-673)
         temp = self.op.divergence_vmult_add(-rp, du, coeffs=st.coeffs)
 
@@ -449,16 +509,20 @@ class NavierStokesPreconditioner:
         dt_start: float,
         constraints_u,
         constraints_schur,
+        lin=None,
     ):
         """Fractional-step pressure-correction solve (ns_prec.cc:777-850):
         GMRES momentum solve, CG pressure-Poisson projection, rotational
         update via the mu-weighted divergence and a mass solve. Returns
-        (update_u, update_p, phi, iterations, residual)."""
+        (update_u, update_p, phi, iterations, residual). `lin` is the
+        current-step linearization for the momentum matrix; the
+        preconditioner keeps st's frozen copy."""
         from adaflo_tpu.solvers.krylov import gmres
 
         op = self.op
         par = self.parameters
-        uA = lambda v: op.velocity_vmult(v, tw, st.lin, st.coeffs)
+        lin = lin if lin is not None else st.lin
+        uA = lambda v: op.velocity_vmult(v, tw, lin, st.coeffs)
         if st.u_gmg is not None:
             cheb = lambda r: jnp.stack(
                 [

@@ -34,6 +34,10 @@ def normalize_output(text: str) -> list[str]:
             ("Time step", " Number", "  L2", "  Maximum", "  Cell")
         ):
             line = re.sub(r"(?<=\s)\d+(?=\s)", "ITER", line)
+        # verbosity-1 '[res/iters]' entries: delete the iteration counts
+        # (system/tolerance dependent), like the reference's sed pass
+        # (tests/CMakeLists.txt:152-185)
+        line = re.sub(r"/\d+\]", "/ITER]", line)
         out.append(line.rstrip())
     # drop trailing blank lines
     while out and not out[-1]:

@@ -46,6 +46,10 @@ def _patch_points(mesh, n_sub: int) -> np.ndarray:
         centers, h = mesh.cell_geometry()
         ref = _ref_lattice(pts, mesh.dim)
         return (centers - 0.5 * h)[:, None, :] + ref[None] * h[:, None, :]
+    if hasattr(mesh, "edge_manifold"):  # unstructured QuadMesh (curved)
+        from adaflo_tpu.fe.mapped_space import CellMapping
+
+        return CellMapping(mesh, 3).map_points(_ref_lattice(pts, mesh.dim))
     dummy_basis = ScalarSpace(mesh, 1).basis
     ev = CellEvaluator(mesh.dim, dummy_basis, (pts, np.zeros_like(pts)), mesh.h)
     return ev.quad_coords(mesh)
