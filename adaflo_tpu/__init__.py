@@ -32,6 +32,7 @@ if not _os.environ.get("ADAFLO_TPU_NO_X64"):
 if _os.environ.get("JAX_PLATFORMS"):
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.devices()  # initialize now, before the plugin can re-override
     except Exception:
         pass  # backend already initialized; too late to repin
 

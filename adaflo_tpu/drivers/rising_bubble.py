@@ -61,13 +61,23 @@ class MicroFluidicProblem:
         dim = parameters.dimension
         subdivisions = (5,) * (dim - 1) + (10,)
         top_right = (1.0,) * (dim - 1) + (2.0,)
-        self.mesh = StructuredMesh.subdivided_hyper_rectangle(
-            subdivisions, (0.0,) * dim, top_right
-        )
-        # symmetry on the x = 0 / x = 1 faces (rising_bubble.cc:136-144)
-        self.mesh.set_boundary_id(
-            lambda c: (np.abs(c[:, 0] - 1) < 1e-14) | (np.abs(c[:, 0]) < 1e-14), 2
-        )
+        if parameters.adaptive_refinements > 0:
+            # AMR configuration (rising_bubble_ls_adap.prm): forest-of-
+            # octrees mesh, the p4est counterpart
+            from adaflo_tpu.mesh.forest import ForestMesh
+
+            self.mesh = ForestMesh(subdivisions, (0.0,) * dim, top_right)
+            self.mesh.set_boundary_id(0, 0, 2)
+            self.mesh.set_boundary_id(0, 1, 2)
+        else:
+            self.mesh = StructuredMesh.subdivided_hyper_rectangle(
+                subdivisions, (0.0,) * dim, top_right
+            )
+            # symmetry on the x = 0 / x = 1 faces (rising_bubble.cc:136-144)
+            self.mesh.set_boundary_id(
+                lambda c: (np.abs(c[:, 0] - 1) < 1e-14) | (np.abs(c[:, 0]) < 1e-14),
+                2,
+            )
 
         method = parameters.solver_method
         if method == "level set okz":

@@ -351,3 +351,221 @@ class QuadMesh:
 
 
 _FLAT = FlatManifold()
+
+
+# ---------------------------------------------------------------------------
+class TriMesh:
+    """2D unstructured triangle mesh (deal.II simplex-mesh support,
+    parameters.cc 'simplex mesh'). Cells are (E, 3) vertex triples with
+    positive orientation; geometry is affine per cell. Boundary ids live on
+    boundary edges, assigned by center predicates like the reference drivers
+    do (simplex_channel.cc:195-208)."""
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray) -> None:
+        self.dim = 2
+        self.is_simplex = True
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.cells = np.asarray(cells, dtype=np.int64)
+        self._fix_orientation()
+        self.periodic = [False, False]
+        self._edge_boundary_id: Dict[Tuple[int, int], int] = {}
+        self._rebuild_edges()
+
+    def _fix_orientation(self) -> None:
+        v = self.vertices[self.cells]
+        e1 = v[:, 1] - v[:, 0]
+        e2 = v[:, 2] - v[:, 0]
+        det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        flip = det < 0
+        if flip.any():
+            self.cells[flip] = self.cells[flip][:, [0, 2, 1]]
+
+    _LOCAL_EDGES = ((0, 1), (1, 2), (2, 0))
+
+    def _rebuild_edges(self) -> None:
+        count: Dict[Tuple[int, int], int] = {}
+        for cell in self.cells:
+            for (a, b) in self._LOCAL_EDGES:
+                key = (min(cell[a], cell[b]), max(cell[a], cell[b]))
+                count[key] = count.get(key, 0) + 1
+        self.edge_keys = sorted(count.keys())
+        self.edge_index = {k: i for i, k in enumerate(self.edge_keys)}
+        self.boundary_edge_keys = [k for k in self.edge_keys if count[k] == 1]
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_keys)
+
+    @property
+    def cell_diameter(self) -> float:
+        v = self.vertices[self.cells]
+        e = [np.linalg.norm(v[:, a] - v[:, b], axis=1) for a, b in self._LOCAL_EDGES]
+        return float(np.max(np.stack(e), axis=0).min())
+
+    @property
+    def last_cell_diameter(self) -> float:
+        v = self.vertices[self.cells[-1]]
+        return float(
+            max(np.linalg.norm(v[a] - v[b]) for a, b in self._LOCAL_EDGES)
+        )
+
+    def cell_centers(self) -> np.ndarray:
+        return self.vertices[self.cells].mean(axis=1)
+
+    def edge_midpoint_flat(self, key: Tuple[int, int]) -> np.ndarray:
+        return 0.5 * (self.vertices[key[0]] + self.vertices[key[1]])
+
+    def set_boundary_id_by_center(
+        self, predicate: Callable[[np.ndarray], bool], boundary_id: int
+    ) -> None:
+        for key in self.boundary_edge_keys:
+            if predicate(self.edge_midpoint_flat(key)):
+                self._edge_boundary_id[key] = boundary_id
+
+    def boundary_id(self, key: Tuple[int, int]) -> int:
+        return self._edge_boundary_id.get(key, 0)
+
+    def boundary_edges_with_id(self, boundary_id: int) -> List[Tuple[int, int]]:
+        return [
+            k for k in self.boundary_edge_keys if self.boundary_id(k) == boundary_id
+        ]
+
+    def all_boundary_ids(self) -> set:
+        return {self.boundary_id(k) for k in self.boundary_edge_keys}
+
+    def set_periodic(self, axis: int) -> None:
+        raise NotImplementedError("periodicity on simplex meshes is not supported")
+
+    def refine_global(self, times: int = 1) -> None:
+        """Red refinement: each triangle splits into 4 via edge midpoints."""
+        for _ in range(times):
+            verts = list(self.vertices)
+            mid: Dict[Tuple[int, int], int] = {}
+
+            def midpoint(a, b):
+                key = (min(a, b), max(a, b))
+                if key not in mid:
+                    mid[key] = len(verts)
+                    verts.append(0.5 * (self.vertices[key[0]] + self.vertices[key[1]]))
+                return mid[key]
+
+            new_cells = []
+            child_ids: Dict[Tuple[int, int], int] = {}
+            for cell in self.cells:
+                v0, v1, v2 = (int(c) for c in cell)
+                m01 = midpoint(v0, v1)
+                m12 = midpoint(v1, v2)
+                m20 = midpoint(v2, v0)
+                new_cells += [
+                    [v0, m01, m20],
+                    [m01, v1, m12],
+                    [m20, m12, v2],
+                    [m01, m12, m20],
+                ]
+                for (a, b) in self._LOCAL_EDGES:
+                    pa, pb = int(cell[a]), int(cell[b])
+                    key = (min(pa, pb), max(pa, pb))
+                    bid = self._edge_boundary_id.get(key)
+                    if bid is not None:
+                        m = mid[key]
+                        for child in ((pa, m), (m, pb)):
+                            child_ids[(min(child), max(child))] = bid
+            self.vertices = np.asarray(verts)
+            self.cells = np.asarray(new_cells, dtype=np.int64)
+            self._edge_boundary_id = dict(child_ids)
+            self._rebuild_edges()
+
+    @classmethod
+    def subdivided_hyper_rectangle_with_simplices(
+        cls, subdivisions, bottom_left, top_right
+    ) -> "TriMesh":
+        """Each rectangle cell split into two triangles (deal.II
+        GridGenerator::subdivided_hyper_rectangle_with_simplices)."""
+        nx, ny = subdivisions
+        x = np.linspace(bottom_left[0], top_right[0], nx + 1)
+        y = np.linspace(bottom_left[1], top_right[1], ny + 1)
+        X, Y = np.meshgrid(x, y, indexing="xy")
+        verts = np.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+
+        def vid(i, j):
+            return j * (nx + 1) + i
+
+        cells = []
+        for j in range(ny):
+            for i in range(nx):
+                a, b = vid(i, j), vid(i + 1, j)
+                c, d = vid(i, j + 1), vid(i + 1, j + 1)
+                cells.append([a, b, c])
+                cells.append([b, d, c])
+        return cls(verts, np.asarray(cells))
+
+
+def read_msh(path: str):
+    """Read a Gmsh 4.1 ASCII .msh file (the format of the reference's
+    simplex test meshes, e.g. tests/simplex_channel_*.msh). Returns a TriMesh
+    (triangle elements) or QuadMesh (quadrilateral elements); 2D only."""
+    with open(path) as f:
+        lines = [l.strip() for l in f]
+    i = 0
+
+    def section(name):
+        nonlocal i
+        while i < len(lines) and lines[i] != f"${name}":
+            i += 1
+        if i == len(lines):
+            raise ValueError(f"section {name} not found in {path}")
+        i += 1
+
+    section("MeshFormat")
+    version = lines[i].split()[0]
+    if not version.startswith("4"):
+        raise NotImplementedError(f"msh version {version}; only 4.x supported")
+
+    section("Nodes")
+    n_blocks, n_nodes = (int(v) for v in lines[i].split()[:2])
+    i += 1
+    coords = np.zeros((n_nodes + 1, 3))  # gmsh tags are 1-based
+    for _ in range(n_blocks):
+        _, _, _, n_in_block = (int(v) for v in lines[i].split())
+        i += 1
+        tags = [int(lines[i + k]) for k in range(n_in_block)]
+        i += n_in_block
+        for k in range(n_in_block):
+            coords[tags[k]] = [float(v) for v in lines[i + k].split()]
+        i += n_in_block
+
+    section("Elements")
+    n_blocks, _ = (int(v) for v in lines[i].split()[:2])
+    i += 1
+    tris, quads = [], []
+    for _ in range(n_blocks):
+        _, _, el_type, n_in_block = (int(v) for v in lines[i].split())
+        i += 1
+        for k in range(n_in_block):
+            parts = [int(v) for v in lines[i + k].split()]
+            if el_type == 2:  # 3-node triangle
+                tris.append(parts[1:4])
+            elif el_type == 3:  # 4-node quadrangle (gmsh: ccw corner order)
+                a, b, c, d = parts[1:5]
+                quads.append([a, b, d, c])  # to lexicographic local order
+        i += n_in_block
+
+    # compress node numbering to used nodes
+    if tris:
+        cells = np.asarray(tris, dtype=np.int64)
+    elif quads:
+        cells = np.asarray(quads, dtype=np.int64)
+    else:
+        raise ValueError(f"no triangle/quad elements in {path}")
+    used, inverse = np.unique(cells.reshape(-1), return_inverse=True)
+    verts = coords[used][:, :2]
+    cells = inverse.reshape(cells.shape)
+    return TriMesh(verts, cells) if tris else QuadMesh(verts, cells)

@@ -202,76 +202,60 @@ int64_t forest_adapt(Forest* f, const int8_t* flags) {
   f->cells.swap(next);
 
   // 2:1 balance: repeatedly refine cells with a neighbor more than one
-  // level finer
+  // level finer. The balance is FULL (faces, edges and corners), matching
+  // deal.II's p4est usage (P4EST_CONNECT_FULL): corner-only level jumps of
+  // two are also smoothed away.
   bool changed = true;
   while (changed) {
     changed = false;
     sort_cells(*f);
     Locator loc;
     loc.build(*f);
-    // for each cell, check face neighbors at level+2 existence
     std::vector<char> refine(f->cells.size(), 0);
+    const int n_off = dim == 3 ? 27 : 9;
     for (size_t i = 0; i < f->cells.size(); ++i) {
       const Cell& c = f->cells[i];
-      // examine all face-adjacent positions at one level finer than c's
-      // children: if any active cell exists at level >= c.level+2 touching
-      // c's face, c must refine
-      for (int axis = 0; axis < dim; ++axis) {
-        for (int side = 0; side < 2; ++side) {
-          // neighbor anchor at c's level
-          int64_t nx = c.x + (axis == 0 ? (side ? 1 : -1) : 0);
-          int64_t ny = c.y + (axis == 1 ? (side ? 1 : -1) : 0);
-          int64_t nzc = c.z + (axis == 2 ? (side ? 1 : -1) : 0);
-          int32_t rx = c.root_x, ry = c.root_y, rz = c.root_z;
-          int64_t span = 1ll << c.level;
-          // cross root boundaries
-          if (nx < 0) { rx -= 1; nx = span - 1; }
-          if (nx >= span) { rx += 1; nx = 0; }
-          if (ny < 0) { ry -= 1; ny = span - 1; }
-          if (ny >= span) { ry += 1; ny = 0; }
-          if (nzc < 0) { rz -= 1; nzc = span - 1; }
-          if (nzc >= span) { rz += 1; nzc = 0; }
-          if (rx < 0 || rx >= f->n_roots[0] || ry < 0 || ry >= f->n_roots[1] ||
-              rz < 0 || rz >= f->n_roots[2])
-            continue;
-          int64_t root = ((int64_t)rz * f->n_roots[1] + ry) * f->n_roots[0] + rx;
-          // look for any descendant of the neighbor at level c.level+2:
-          // check the 2^(dim-1) grandchildren anchors on the touching face
-          int64_t gx0 = nx << 2, gy0 = ny << 2, gz0 = nzc << 2;
-          // touching face of the neighbor is the side facing c
-          int64_t fx = axis == 0 ? (side ? gx0 : gx0 + 3) : -1;
-          bool found = false;
-          for (int u = 0; u < 4 && !found; ++u) {
-            for (int v = 0; v < (dim == 3 ? 4 : 1) && !found; ++v) {
-              int64_t gx, gy, gz;
-              if (axis == 0) {
-                gx = side ? gx0 : gx0 + 3;
-                gy = gy0 + u;
-                gz = dim == 3 ? gz0 + v : 0;
-              } else if (axis == 1) {
-                gy = side ? gy0 : gy0 + 3;
-                gx = gx0 + u;
-                gz = dim == 3 ? gz0 + v : 0;
-              } else {
-                gz = side ? gz0 : gz0 + 3;
-                gx = gx0 + u;
-                gy = gy0 + v;
-              }
-              // an active cell at level c.level+2 with this anchor? also any
-              // deeper one implies one at +2 existed during construction;
-              // checking exact level +2 after sorting suffices when balance
-              // iterates to a fixed point
-              auto it = loc.by_id.find({root, c.level + 2, gx, gy, gz});
-              if (it != loc.by_id.end()) found = true;
-              // deeper descendants
-              auto it3 = loc.by_id.find(
-                  {root, c.level + 3, gx << 1, gy << 1, gz << 1});
-              if (it3 != loc.by_id.end()) found = true;
-            }
-          }
-          if (found) refine[i] = 1;
+      // examine every neighbor position (face/edge/corner offsets): if any
+      // active cell exists at level >= c.level+2 touching c, c must refine
+      bool found = false;
+      for (int off = 0; off < n_off && !found; ++off) {
+        int o[3] = {off % 3 - 1, (off / 3) % 3 - 1, dim == 3 ? off / 9 - 1 : 0};
+        if (o[0] == 0 && o[1] == 0 && o[2] == 0) continue;
+        int64_t nc[3] = {c.x + o[0], c.y + o[1], c.z + o[2]};
+        int32_t rr[3] = {c.root_x, c.root_y, c.root_z};
+        int64_t span = 1ll << c.level;
+        for (int a = 0; a < 3; ++a) {
+          if (nc[a] < 0) { rr[a] -= 1; nc[a] = span - 1; }
+          if (nc[a] >= span) { rr[a] += 1; nc[a] = 0; }
         }
+        if (rr[0] < 0 || rr[0] >= f->n_roots[0] || rr[1] < 0 ||
+            rr[1] >= f->n_roots[1] || rr[2] < 0 || rr[2] >= f->n_roots[2])
+          continue;
+        int64_t root =
+            ((int64_t)rr[2] * f->n_roots[1] + rr[1]) * f->n_roots[0] + rr[0];
+        // grandchild anchors (level c.level+2) of the neighbor that touch c:
+        // offset -1 -> the high face (coordinate +3), +1 -> the low face
+        // (coordinate +0), 0 -> all 4 coordinates
+        int64_t g0[3], cnt[3];
+        for (int a = 0; a < 3; ++a) {
+          int64_t base = nc[a] << 2;
+          if (o[a] == -1) { g0[a] = base + 3; cnt[a] = 1; }
+          else if (o[a] == 1) { g0[a] = base; cnt[a] = 1; }
+          else { g0[a] = base; cnt[a] = (a < dim) ? 4 : 1; }
+        }
+        for (int u = 0; u < cnt[0] && !found; ++u)
+          for (int v = 0; v < cnt[1] && !found; ++v)
+            for (int w = 0; w < cnt[2] && !found; ++w) {
+              int64_t gx = g0[0] + u, gy = g0[1] + v, gz = g0[2] + w;
+              // an active cell at level c.level+2 with this anchor? deeper
+              // descendants checked one level down; balance iterates to a
+              // fixed point so exact-level probes suffice
+              if (loc.by_id.count({root, c.level + 2, gx, gy, gz})) found = true;
+              if (loc.by_id.count({root, c.level + 3, gx << 1, gy << 1, gz << 1}))
+                found = true;
+            }
       }
+      if (found) refine[i] = 1;
     }
     std::vector<Cell> balanced;
     for (size_t i = 0; i < f->cells.size(); ++i) {

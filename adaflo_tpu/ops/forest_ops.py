@@ -26,6 +26,10 @@ def evaluator_for(space, n_q_1d: int, dtype=None):
     """Per-cell-geometry evaluator for a space on the general index-map
     path: MappedEvaluator for unstructured (curved) meshes,
     VariableCellEvaluator for axis-aligned forest cells."""
+    if getattr(space, "is_simplex", False):
+        from adaflo_tpu.ops.mapped import SimplexEvaluator
+
+        return SimplexEvaluator(space, n_q_1d, dtype)
     if getattr(space, "is_mapped", False):
         from adaflo_tpu.ops.mapped import MappedEvaluator
 

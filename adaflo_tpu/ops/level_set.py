@@ -62,35 +62,61 @@ class LevelSetOperators:
         mesh = ls_space.mesh
         sub = parameters.concentration_subdivisions
         self.subdiv = sub
+        self.is_forest = getattr(ls_space, "is_forest", False)
 
         q_ls = iterated_gauss_quadrature(sub, 2)
-        self.ev_ls = CellEvaluator(self.dim, ls_space.basis, q_ls, mesh.h)
-        self.ev_u_lsq = CellEvaluator(self.dim, u_space.basis, q_ls, mesh.h)
-        # NS quadrature (Gauss velocity_degree+1) for the force kernel
         nq_ns = parameters.velocity_degree + 1
-        self.ev_ls_nsq = CellEvaluator(self.dim, ls_space.basis, nq_ns, mesh.h)
-        self.ev_p_nsq = CellEvaluator(self.dim, p_space.basis, nq_ns, mesh.h)
-        self.ev_u_nsq = CellEvaluator(self.dim, u_space.basis, nq_ns, mesh.h)
+        if self.is_forest:
+            # adaptive forest: per-cell geometry + index-map gather/scatter
+            from adaflo_tpu.ops.lattice import IndexMapOps
+            from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+            hc = ls_space.h_cells
+            self.ev_ls = VariableCellEvaluator(self.dim, ls_space.basis, q_ls, hc)
+            self.ev_u_lsq = VariableCellEvaluator(self.dim, u_space.basis, q_ls, hc)
+            self.ev_ls_nsq = VariableCellEvaluator(self.dim, ls_space.basis, nq_ns, hc)
+            self.ev_p_nsq = VariableCellEvaluator(self.dim, p_space.basis, nq_ns, hc)
+            self.ev_u_nsq = VariableCellEvaluator(self.dim, u_space.basis, nq_ns, hc)
+            self.lat_ls = IndexMapOps.for_space(ls_space)
+            self.lat_u = IndexMapOps.for_space(u_space)
+        else:
+            self.ev_ls = CellEvaluator(self.dim, ls_space.basis, q_ls, mesh.h)
+            self.ev_u_lsq = CellEvaluator(self.dim, u_space.basis, q_ls, mesh.h)
+            # NS quadrature (Gauss velocity_degree+1) for the force kernel
+            self.ev_ls_nsq = CellEvaluator(self.dim, ls_space.basis, nq_ns, mesh.h)
+            self.ev_p_nsq = CellEvaluator(self.dim, p_space.basis, nq_ns, mesh.h)
+            self.ev_u_nsq = CellEvaluator(self.dim, u_space.basis, nq_ns, mesh.h)
+            self.lat_ls = LatticeOps.for_space(ls_space)
+            self.lat_u = LatticeOps.for_space(u_space)
 
         self.cd_ls = jnp.asarray(ls_space.cell_dofs)
         self.cd_u = jnp.asarray(u_space.cell_dofs)
         self.cd_p = jnp.asarray(p_space.cell_dofs)
-        self.lat_ls = LatticeOps.for_space(ls_space)
-        self.lat_u = LatticeOps.for_space(u_space)
         self.n_q = self.ev_ls.n_q
 
-        # geometric scalars (uniform mesh; per-cell arrays arrive with AMR)
         self.epsilon_used = epsilon_used
         self.cell_diameter = cell_diameter  # max |J eigenvalue| = max(h)
         self.minimal_edge_length = minimal_edge_length
-        # reinit diffusion: max(eps_used, h/sub) (reinit.cc:82-86)
-        self.reinit_diffusion = max(epsilon_used, cell_diameter / sub)
-        # projection damping: 4 max(h/sub, eps_used/eps)^2 (okz.cc:270-281)
-        self.projection_damping = 4.0 * max(
-            epsilon_used / parameters.epsilon, cell_diameter / sub
-        ) ** 2
-        # normal-operator damping (damping_scale_factor = 4,
-        # compute_normal.h:66) coincides with projection_damping here
+        if self.is_forest:
+            # per-cell diameter = max Jacobian eigenvalue = max(h_cell)
+            # (util.h:47-120); diffusion/damping follow the per-cell formulas
+            # of reinit.cc:82-86 and compute_normal.cc:108-112
+            diam = np.max(ls_space.h_cells, axis=1)  # (E,)
+            self.reinit_diffusion = jnp.asarray(np.maximum(epsilon_used, diam / sub))
+            self.projection_damping = jnp.asarray(
+                4.0
+                * np.maximum(epsilon_used / parameters.epsilon, diam / sub) ** 2
+            )
+        else:
+            # uniform mesh: plain scalars
+            # reinit diffusion: max(eps_used, h/sub) (reinit.cc:82-86)
+            self.reinit_diffusion = max(epsilon_used, cell_diameter / sub)
+            # projection damping: 4 max(h/sub, eps_used/eps)^2 (okz.cc:270-281)
+            self.projection_damping = 4.0 * max(
+                epsilon_used / parameters.epsilon, cell_diameter / sub
+            ) ** 2
+            # normal-operator damping (damping_scale_factor = 4,
+            # compute_normal.h:66) coincides with projection_damping here
 
         # interpolation of the concentration space onto pressure support
         # points (level_set_base.cc:65-137), for grad-pressure-compatible
@@ -102,6 +128,12 @@ class LevelSetOperators:
         self.interp_ls_to_p = jnp.asarray(P)
 
     # -- gather/scatter helpers -----------------------------------------
+    def _percell(self, fac, arr):
+        """Multiply (E, ..., n_q) by a scalar or per-cell (E,) factor."""
+        if np.isscalar(fac):
+            return arr * fac
+        return arr * fac.reshape((-1,) + (1,) * (arr.ndim - 1))
+
     def _gather_ls(self, c, con: Optional[Constraints] = None):
         if con is not None:
             c = con.resolve(c)
@@ -147,7 +179,9 @@ class LevelSetOperators:
         def apply_unit(unit):
             pc = jnp.broadcast_to(unit[None], (E, n_loc))
             r = self.ev_ls.integrate_values(self.ev_ls.values(pc))
-            r = r + self.ev_ls.integrate_gradients(self.ev_ls.gradients(pc) * damping)
+            r = r + self.ev_ls.integrate_gradients(
+                self._percell(damping, self.ev_ls.gradients(pc))
+            )
             return r
 
         out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
@@ -205,7 +239,7 @@ class LevelSetOperators:
         val = self.ev_ls.values(cc)
         grad = self.ev_ls.gradients(cc)
         r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
-            grad * self.projection_damping
+            self._percell(self.projection_damping, grad)
         )
         out = self._scatter_nrm(r, self.con_nrm)
         cd = self.con_nrm.constrained_dofs
@@ -218,7 +252,7 @@ class LevelSetOperators:
         val = self.ev_ls.values(cc)
         grad = self.ev_ls.gradients(cc)
         r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
-            grad * self.projection_damping
+            self._percell(self.projection_damping, grad)
         )
         out = self._scatter_ls(r, self.con_curv)
         cd = self.con_curv.constrained_dofs
@@ -246,7 +280,7 @@ class LevelSetOperators:
         grad = self.ev_ls.gradients(cc)
         diffusion = self.reinit_diffusion
         if diffuse_only:
-            g = -diffusion * grad
+            g = -self._percell(diffusion, grad)
             r = self.ev_ls.integrate_gradients(g)
             return self._scatter_ls(r, self.con_ls), evaluated_normal
         if first_step:
@@ -256,7 +290,7 @@ class LevelSetOperators:
             evaluated_normal = n_val / jnp.maximum(nn, 1e-4)
         n = evaluated_normal
         ngrad = jnp.einsum("edq,edq->eq", n, grad)
-        coef = 0.5 * (1.0 - val * val) - ngrad * diffusion
+        coef = 0.5 * (1.0 - val * val) - self._percell(diffusion, ngrad)
         g = n * coef[:, None, :]
         r = self.ev_ls.integrate_gradients(g)
         return self._scatter_ls(r, self.con_ls), evaluated_normal
@@ -267,11 +301,11 @@ class LevelSetOperators:
         grad = self.ev_ls.gradients(cc)
         diffusion = self.reinit_diffusion
         if diffuse_only:
-            g = grad * diffusion
+            g = self._percell(diffusion, grad)
         else:
             n = evaluated_normal
             ngrad = jnp.einsum("edq,edq->eq", n, grad)
-            g = diffusion * n * ngrad[:, None, :]
+            g = n * self._percell(diffusion, ngrad)[:, None, :]
         r = self.ev_ls.integrate_values(dtau_inv * val) + self.ev_ls.integrate_gradients(g)
         out = self._scatter_ls(r, self.con_ls)
         cd = self.con_ls.constrained_dofs

@@ -62,6 +62,10 @@ class Linearized(NamedTuple):
     val: jnp.ndarray  # (E, dim, n_q) linearization velocity u*
     grad: Optional[jnp.ndarray]  # (E, dim, dim, n_q) full gradient (Newton)
     div: jnp.ndarray  # (E, n_q) divergence of u*
+    # cell-local dofs of u* (E, dim, n_loc): carried for the fused Pallas
+    # mat-vec, which re-evaluates u* in VMEM instead of streaming the
+    # q-point fields from HBM
+    dofs: Optional[jnp.ndarray] = None
 
 
 class Coefficients(NamedTuple):
@@ -150,6 +154,36 @@ class NavierStokesOperator:
         # pressure mass as weights (navier_stokes_matrix.cc:110-168)
         self.pressure_fix_mode = None  # set by enable_pressure_fix()
         self.pressure_dg0_mode = None  # augmented TH second mode
+
+        # fused Pallas mat-vec (ops/pallas_matvec.py): Q2/Q1 3D Newton on
+        # the uniform lattice. TPU f32 by default (the bench/deployment
+        # precision; f64 stays on the einsum path for bit-stable goldens);
+        # ADAFLO_PALLAS_MATVEC=1 forces it on (interpreted off-TPU),
+        # =0 disables.
+        import os
+
+        self._pallas_tables = None
+        self._pallas_interpret = False
+        flag = os.environ.get("ADAFLO_PALLAS_MATVEC", "")
+        eligible = (
+            not self.is_forest
+            and self.dim == 3
+            and parameters.velocity_degree == 2
+            and not self.augmented
+            and parameters.linearization
+            == Linearization.coupled_implicit_newton
+            and parameters.physical_type == PhysicalType.incompressible
+            and flag != "0"
+        )
+        if eligible:
+            on_tpu = jax.default_backend() == "tpu"
+            if (self.dtype == jnp.float32 and on_tpu) or flag == "1":
+                from adaflo_tpu.ops.pallas_matvec import build_tables
+
+                self._pallas_tables = build_tables(
+                    self.ev_u, self.ev_p, np.dtype(self.dtype)
+                )
+                self._pallas_interpret = not on_tpu
 
     # ------------------------------------------------------------------
     # gather / scatter helpers
@@ -407,6 +441,12 @@ class NavierStokesOperator:
         submit_val, stress, div, new_lin = self._q_point_terms(
             "residual", tw, val_u, grad_u, p_q, old_val, old_old_val, lin, coeffs
         )
+        if new_lin is not None and par.linearization in (
+            Linearization.coupled_implicit_newton,
+            Linearization.coupled_implicit_picard,
+        ):
+            # carry the linearization-point dofs for the fused Pallas mat-vec
+            new_lin = new_lin._replace(dofs=uc)
 
         # stress is (E, comp, deriv, n_q): batch (E, comp), deriv axis at -2
         # exactly as integrate_gradients expects
@@ -432,17 +472,51 @@ class NavierStokesOperator:
     ):
         """Coupled-system mat-vec (navier_stokes_matrix.cc:221-262)."""
         uc = self._gather_u(du, resolve=True)
-        val_u = self.ev_u.values(uc)
-        grad_u = self.ev_u.gradients(uc)
-        p_q = self.pressure_values_q(dp, self.ev_p, resolve=True)
-        submit_val, stress, div, _ = self._q_point_terms(
-            "vmult", tw, val_u, grad_u, p_q, None, None, lin, coeffs
+        use_pallas = (
+            self._pallas_tables is not None
+            and lin is not None
+            and getattr(lin, "dofs", None) is not None
+            and lin.grad is not None
+            and coeffs.rho is None
+            and coeffs.mu is None
+            and coeffs.damping is None
         )
-        r_u = self.ev_u.integrate_gradients(stress)
-        if submit_val is not None:
-            r_u = r_u + self.ev_u.integrate_values(submit_val)
-        ru = self._scatter_u(r_u)
-        rp = self._integrate_pressure_row(-div)
+        if use_pallas:
+            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_cells
+
+            par = self.parameters
+            E = uc.shape[0]
+            pc = self._gather_p(self.constraints_p.resolve(dp), resolve=False)
+            x_cells = jnp.concatenate([uc.reshape(E, -1), pc], axis=1)
+            lin_cells = jnp.concatenate(
+                [lin.dofs.reshape(E, -1), jnp.zeros_like(pc)], axis=1
+            )
+            scalars = (
+                tw.weight * par.density - par.damping,
+                tw.tau1 * par.density,
+                par.beta_convective_term_momentum_balance,
+                tw.tau1 * par.viscosity,
+                par.tau_grad_div,
+            )
+            out = coupled_vmult_cells(
+                x_cells, lin_cells, self._pallas_tables, scalars,
+                interpret=self._pallas_interpret,
+            )
+            n_u3 = 3 * self.u_space.n_local
+            ru = self._scatter_u(out[:, :n_u3].reshape(E, 3, -1))
+            rp = self._scatter_p(out[:, n_u3:])
+        else:
+            val_u = self.ev_u.values(uc)
+            grad_u = self.ev_u.gradients(uc)
+            p_q = self.pressure_values_q(dp, self.ev_p, resolve=True)
+            submit_val, stress, div, _ = self._q_point_terms(
+                "vmult", tw, val_u, grad_u, p_q, None, None, lin, coeffs
+            )
+            r_u = self.ev_u.integrate_gradients(stress)
+            if submit_val is not None:
+                r_u = r_u + self.ev_u.integrate_values(submit_val)
+            ru = self._scatter_u(r_u)
+            rp = self._integrate_pressure_row(-div)
         # identity on constrained rows (pressure with sign -1, cc:247-256)
         for c in range(self.dim):
             ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))

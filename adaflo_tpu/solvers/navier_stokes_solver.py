@@ -85,9 +85,9 @@ class NavierStokes(FlowBaseAlgorithm):
 
     @property
     def is_mapped(self) -> bool:
-        from adaflo_tpu.mesh.unstructured import QuadMesh
+        from adaflo_tpu.mesh.unstructured import QuadMesh, TriMesh
 
-        return isinstance(self.mesh, QuadMesh)
+        return isinstance(self.mesh, (QuadMesh, TriMesh))
 
     def setup_problem(self, initial_velocity_fn=None) -> None:
         par = self.parameters
@@ -117,21 +117,29 @@ class NavierStokes(FlowBaseAlgorithm):
                     "unstructured-mesh NS currently supports Dirichlet/"
                     "no-slip/open boundaries and pressure fix"
                 )
-            # one mapping shared by velocity and pressure (the reference's
-            # single MappingQ(3), flow_base_algorithm.cc:44-46)
-            self.cell_mapping = CellMapping(mesh, degree=3)
-            self.u_space = MappedSpace(mesh, par.velocity_degree, self.cell_mapping)
-            self.p_space = MappedSpace(mesh, par.pressure_degree, self.cell_mapping)
+            from adaflo_tpu.mesh.unstructured import TriMesh
+
+            if isinstance(mesh, TriMesh):
+                # simplex mesh: FE_SimplexP spaces on affine triangles
+                # (navier_stokes.cc FE_SimplexP branch)
+                from adaflo_tpu.fe.simplex import SimplexSpace
+
+                self.u_space = SimplexSpace(mesh, par.velocity_degree)
+                self.p_space = SimplexSpace(mesh, par.pressure_degree)
+            else:
+                # one mapping shared by velocity and pressure (the
+                # reference's single MappingQ(3), flow_base_algorithm.cc:44-46)
+                self.cell_mapping = CellMapping(mesh, degree=3)
+                self.u_space = MappedSpace(mesh, par.velocity_degree, self.cell_mapping)
+                self.p_space = MappedSpace(mesh, par.pressure_degree, self.cell_mapping)
         elif self.is_forest:
             from adaflo_tpu.fe.forest_space import ForestSpace
 
             bd = self.boundary
-            if bd.symmetry or bd.normal_flux or bd.open_conditions_p or (
-                bd.periodic_axes
-            ):
+            if bd.normal_flux or bd.open_conditions_p or bd.periodic_axes:
                 raise NotImplementedError(
-                    "adaptive forest NS currently supports Dirichlet/no-slip "
-                    "boundaries with pressure fix only"
+                    "adaptive forest NS currently supports Dirichlet/no-slip/"
+                    "symmetry boundaries with pressure fix only"
                 )
             self.u_space = ForestSpace(mesh, par.velocity_degree)
             self.p_space = ForestSpace(mesh, par.pressure_degree)
@@ -211,16 +219,24 @@ class NavierStokes(FlowBaseAlgorithm):
                 for end in (0, 1):
                     ids_here = set(np.unique(self.mesh.boundary_ids(axis, end)))
                     for bid in ids_here:
-                        faces = [
-                            fd
-                            for ax, en, fd in u_space.boundary_faces(bid)
-                            if (ax, en) == (axis, end)
-                        ]
-                        if not faces:
-                            continue
-                        dofs = np.unique(
-                            np.concatenate([f.ravel() for f in faces])
-                        )
+                        if hasattr(u_space, "boundary_faces"):
+                            faces = [
+                                fd
+                                for ax, en, fd in u_space.boundary_faces(bid)
+                                if (ax, en) == (axis, end)
+                            ]
+                            if not faces:
+                                continue
+                            dofs = np.unique(
+                                np.concatenate([f.ravel() for f in faces])
+                            )
+                        else:
+                            # forest: whole sides carry one boundary id
+                            if bid not in (bd.symmetry | bd.normal_flux):
+                                continue
+                            dofs = u_space.side_dofs(axis, end)
+                            if len(dofs) == 0:
+                                continue
                         if bid in bd.symmetry:
                             cu[axis].add_dirichlet(dofs)
                         if bid in bd.normal_flux:

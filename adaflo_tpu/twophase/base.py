@@ -43,6 +43,8 @@ class TwoPhaseBaseAlgorithm:
         self.curvature_name = "curvature"
         self.last_concentration_range = (-1.0, 1.0)
         self.global_omega_diameter = 0.0
+        self.last_refine_step = 0
+        self.refine_lower_level_limit = 0
 
     # -- BC setter API delegated to the NS solver (the reference inherits
     # FlowBaseAlgorithm on both; here the descriptor lives on the NS solver)
@@ -53,6 +55,12 @@ class TwoPhaseBaseAlgorithm:
 
     def _p(self, *a, **k):
         print(*a, **k, file=self.out or sys.stdout)
+
+    @property
+    def is_forest(self) -> bool:
+        from adaflo_tpu.mesh.forest import ForestMesh
+
+        return isinstance(self.mesh, ForestMesh)
 
     # ------------------------------------------------------------------
     def setup_problem(self, initial_velocity_fn, initial_distance_fn) -> None:
@@ -68,17 +76,66 @@ class TwoPhaseBaseAlgorithm:
         self.navier_stokes.setup_problem(initial_velocity_fn)
         par.global_refinements = saved
 
-        self.ls_space = ScalarSpace(
-            mesh, par.concentration_subdivisions, self.concentration_support
+        self._setup_ls_discretization()
+        self._apply_initial_distance(initial_distance_fn)
+
+        # AMR warm-up: refine towards the interface, re-interpolating the
+        # initial conditions after every adaptation (two_phase_base.cc:161-188)
+        self.refine_lower_level_limit = (
+            mesh.max_level if self.is_forest else 0
         )
+        if self.is_forest and par.adaptive_refinements > 0:
+            for _ in range(par.adaptive_refinements + 1):
+                self.refine_grid()
+                vals = np.asarray(
+                    initial_velocity_fn(
+                        self.navier_stokes.u_space.node_coords, 0.0
+                    )
+                )
+                ns = self.navier_stokes
+                ns.solution[0] = (
+                    jnp.zeros_like(ns.solution[0])
+                    .at[:, : vals.shape[1]]
+                    .set(jnp.asarray(vals))
+                )
+                self._apply_initial_distance(initial_distance_fn)
+
+        # divergence-free initial velocity if starting from zero
+        if float(jnp.linalg.norm(self.navier_stokes.solution[0])) == 0:
+            self.navier_stokes.compute_initial_stokes_field()
+
+    def _setup_ls_discretization(self) -> None:
+        """Build the concentration space, constraints, epsilon and vectors
+        for the current mesh; prints the dof/mesh-size block
+        (two_phase_base.cc:229-304). Re-entered after forest adaptation."""
+        par = self.parameters
+        mesh = self.mesh
+        if self.is_forest:
+            from adaflo_tpu.fe.forest_space import ForestSpace
+
+            self.ls_space = ForestSpace(
+                mesh, par.concentration_subdivisions, self.concentration_support
+            )
+        else:
+            self.ls_space = ScalarSpace(
+                mesh, par.concentration_subdivisions, self.concentration_support
+            )
         self._build_ls_constraints()
         self.print_n_dofs()
 
-        # epsilon for interface smoothing (two_phase_base.cc:280-291)
-        self.cell_diameter = float(np.max(mesh.h))
-        self.minimal_edge_length = float(np.min(mesh.h))
+        # epsilon for interface smoothing (two_phase_base.cc:280-291):
+        # largest diameter among FINEST-level cells / smallest edge overall
+        if self.is_forest:
+            h_cells = self.ls_space.h_cells
+            levels = self.ls_space.levels
+            finest = levels == levels.max()
+            self.cell_diameter = float(np.max(h_cells[finest]))
+            self.minimal_edge_length = float(np.min(h_cells))
+        else:
+            self.cell_diameter = float(np.max(mesh.h))
+            self.minimal_edge_length = float(np.min(mesh.h))
         self._p(
-            " Mesh size (largest/smallest element length at finest level): "
+            "Mesh size (largest/smallest element length at finest level): "
             f"{fmt_g(self.cell_diameter)} / {fmt_g(self.minimal_edge_length)}"
         )
         self.epsilon_used = (
@@ -94,31 +151,47 @@ class TwoPhaseBaseAlgorithm:
 
         self.initialize_data_structures()
 
-        # initial distance -> tanh profile
+    def _apply_initial_distance(self, initial_distance_fn) -> None:
+        n = self.ls_space.n_dofs_padded
         dist = np.asarray(initial_distance_fn(self.ls_space.node_coords, 0.0))
         c0 = jnp.zeros(n).at[: len(dist)].set(jnp.asarray(dist))
         c0 = self.transform_distance_function(c0)
+        c0 = self.hanging_constraints_ls.distribute_values(c0)
         self.solution[0] = c0
 
-        # divergence-free initial velocity if starting from zero
-        if float(jnp.linalg.norm(self.navier_stokes.solution[0])) == 0:
-            self.navier_stokes.compute_initial_stokes_field()
-
     def _build_ls_constraints(self) -> None:
-        """Concentration constraints: inflow (fluid-type) Dirichlet; normals
-        and curvature spaces are unconstrained on uniform meshes."""
+        """Concentration constraints: inflow (fluid-type) Dirichlet plus
+        hanging nodes; normals and curvature carry the hanging constraints
+        only (two_phase_base.cc:200-224)."""
         n = self.ls_space.n_dofs
+        hang = getattr(self.ls_space, "hanging_slave", None)
+
+        def add_hanging(con: Constraints) -> None:
+            if hang is not None and len(hang):
+                con.add_affine(
+                    self.ls_space.hanging_slave,
+                    self.ls_space.hanging_master,
+                    self.ls_space.hanging_weight,
+                )
+
         con = Constraints(n)
         for bid in self.boundary.fluid_type:
             con.add_dirichlet(self.ls_space.boundary_dofs(bid))
+        add_hanging(con)
         con.close()
         self.constraints_ls = con
         cn = Constraints(n)
+        add_hanging(cn)
         cn.close()
         self.constraints_normals = cn
         ck = Constraints(n)
+        add_hanging(ck)
         ck.close()
         self.constraints_curvature = ck
+        ch = Constraints(n)
+        add_hanging(ch)
+        ch.close()
+        self.hanging_constraints_ls = ch
 
     def initialize_data_structures(self) -> None:
         """Overridden by concrete solvers (OKZ adds preconditioners)."""
@@ -130,13 +203,13 @@ class TwoPhaseBaseAlgorithm:
         ns = self.navier_stokes
         nu, npp = ns.n_dofs
         self._p("")
-        self._p(f" Number of active cells: {self.mesh.n_cells}.")
+        self._p(f"Number of active cells: {self.mesh.n_cells}.")
         self._p(
-            f" Number of Navier-Stokes degrees of freedom: "
+            f"Number of Navier-Stokes degrees of freedom: "
             f"{nu + npp} ({nu} + {npp})."
         )
         self._p(
-            f" Number of level set degrees of freedom: {self.ls_space.n_dofs}."
+            f"Number of level set degrees of freedom: {self.ls_space.n_dofs}."
         )
 
     # ------------------------------------------------------------------
@@ -166,13 +239,20 @@ class TwoPhaseBaseAlgorithm:
                 self._p(f"{fmt_g(time)} ", end="", flush=True)
 
     # ------------------------------------------------------------------
+    def _unit_h(self):
+        """Geometry placeholder for values-only evaluations (values never
+        touch the cell extents, so unit h serves any mesh type)."""
+        return (
+            (1.0,) * self.mesh.dim if self.is_forest else self.mesh.h
+        )
+
     def get_maximal_velocity(self) -> float:
         """Max |u| over an equidistant point lattice per cell
         (two_phase_base.cc:479-509)."""
         ns = self.navier_stokes
         pts = equidistant_points(self.parameters.velocity_degree + 2)
         ev = CellEvaluator(
-            self.mesh.dim, ns.u_space.basis, (pts, np.zeros_like(pts)), self.mesh.h
+            self.mesh.dim, ns.u_space.basis, (pts, np.zeros_like(pts)), self._unit_h()
         )
         u = np.asarray(ns.solution[0])
         cells = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
@@ -183,7 +263,10 @@ class TwoPhaseBaseAlgorithm:
         """Range over an equidistant lattice (two_phase_base.cc:513-545)."""
         pts = equidistant_points(self.ls_space.degree + 3)
         ev = CellEvaluator(
-            self.mesh.dim, self.ls_space.basis, (pts, np.zeros_like(pts)), self.mesh.h
+            self.mesh.dim,
+            self.ls_space.basis,
+            (pts, np.zeros_like(pts)),
+            self._unit_h(),
         )
         c = np.asarray(self.solution[0])
         vals = np.asarray(ev.values(jnp.asarray(c[self.ls_space.cell_dofs])))
@@ -215,6 +298,8 @@ class TwoPhaseBaseAlgorithm:
         smeared heaviside/delta form (two_phase_base.cc:972-1091)."""
         if self.mesh.dim == 3:
             return self._compute_bubble_statistics_3d()
+        if self.is_forest:
+            return self._compute_bubble_statistics_forest(sub_refinements)
         par = self.parameters
         ns = self.navier_stokes
         sub = (
@@ -319,6 +404,115 @@ class TwoPhaseBaseAlgorithm:
         data += [com[d] / area for d in range(2)]
         return data
 
+    def _compute_bubble_statistics_forest(
+        self, sub_refinements: Optional[int] = None
+    ) -> list[float]:
+        """2D bubble diagnostics on the adaptive forest: the same sub-cell
+        interface reconstruction as the uniform path, with per-cell geometry
+        (quad coordinates, JxW and patch areas vary per cell)."""
+        from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+        par = self.parameters
+        ns = self.navier_stokes
+        sp = self.ls_space
+        usp = ns.u_space
+        sub = (
+            par.velocity_degree + 3 if sub_refinements in (None, 0) else sub_refinements
+        ) or par.velocity_degree + 3
+
+        pts = equidistant_points(sub + 1)
+        ev_c = VariableCellEvaluator(
+            2, sp.basis, (pts, np.zeros_like(pts)), sp.h_cells
+        )
+        ev_u = VariableCellEvaluator(
+            2, usp.basis, (pts, np.zeros_like(pts)), sp.h_cells
+        )
+        c = np.asarray(self.hanging_constraints_ls.distribute_values(self.solution[0]))
+        u = np.asarray(ns.solution[0])
+        c_vals = np.asarray(ev_c.values(jnp.asarray(c)[sp.cell_dofs]))
+        u_cells = jnp.asarray(np.transpose(u[:, usp.cell_dofs], (1, 0, 2)))
+        u_vals = np.asarray(ev_u.values(u_cells))  # (E, 2, (sub+1)^2)
+        qc = ev_c.quad_coords(sp)  # (E, (sub+1)^2, 2)
+
+        c_dof_vals = c[sp.cell_dofs]
+        crosses = (c_dof_vals * c_dof_vals[:, :1] <= 0).any(axis=1)
+
+        area = 0.0
+        perimeter = 0.0
+        com = np.zeros(2)
+        vel = np.zeros(2)
+
+        # interior cells: per-cell Gauss quadrature
+        inside = (~crosses) & (c_dof_vals[:, 0] > 0)
+        if inside.any():
+            evg = VariableCellEvaluator(
+                2, usp.basis, par.velocity_degree, sp.h_cells
+            )
+            qg = evg.quad_coords(sp)[inside]
+            ug = np.asarray(ev_values(evg, u, usp, inside))
+            jxw = np.asarray(evg.jxw_cells)[inside]
+            area += jxw.sum()
+            com += np.einsum("eqd,eq->d", qg, jxw)
+            vel += np.einsum("edq,eq->d", ug, jxw)
+
+        # interface cells: subdivided patches with per-cell patch areas
+        idx = np.flatnonzero(crosses)
+        if len(idx):
+            n1 = sub + 1
+            cv = c_vals[idx].reshape(-1, n1, n1) + 1e-22
+            uv = u_vals[idx].reshape(-1, 2, n1, n1)
+            qq = qc[idx].reshape(-1, n1, n1, 2)
+            subcell_area = np.prod(sp.h_cells[idx], axis=1) / (sub * sub)
+            w4 = np.repeat(subcell_area / 4.0, sub * sub)  # per patch
+
+            c00 = cv[:, :-1, :-1].reshape(-1)
+            c01 = cv[:, :-1, 1:].reshape(-1)
+            c10 = cv[:, 1:, :-1].reshape(-1)
+            c11 = cv[:, 1:, 1:].reshape(-1)
+            p00 = qq[:, :-1, :-1, :].reshape(-1, 2)
+            p01 = qq[:, :-1, 1:, :].reshape(-1, 2)
+            p10 = qq[:, 1:, :-1, :].reshape(-1, 2)
+            p11 = qq[:, 1:, 1:, :].reshape(-1, 2)
+            v00 = np.moveaxis(uv[:, :, :-1, :-1].reshape(len(idx), 2, -1), 1, 2).reshape(-1, 2)
+            v01 = np.moveaxis(uv[:, :, :-1, 1:].reshape(len(idx), 2, -1), 1, 2).reshape(-1, 2)
+            v10 = np.moveaxis(uv[:, :, 1:, :-1].reshape(len(idx), 2, -1), 1, 2).reshape(-1, 2)
+            v11 = np.moveaxis(uv[:, :, 1:, 1:].reshape(len(idx), 2, -1), 1, 2).reshape(-1, 2)
+
+            a_frac, per = _patch_area_perimeter(c00, c01, c10, c11, p00, p01, p10, p11)
+            perimeter += per.sum()
+            w = a_frac[:, None] * w4[:, None]
+            area += 4.0 * (a_frac * w4).sum()
+            com += (w * (p00 + p01 + p10 + p11)).sum(axis=0)
+            vel += (w * (v00 + v01 + v10 + v11)).sum(axis=0)
+
+        norm_v = np.linalg.norm(vel)
+        self.set_adaptive_time_step(norm_v / area)
+        circularity = 2.0 * np.sqrt(area * np.pi) / perimeter if perimeter > 0 else 0.0
+
+        if par.output_verbosity > 0:
+            self._p(f"  Degree of circularity: {fmt8(circularity)}")
+            vstr = "  ".join(
+                fmt8(0.0 if abs(vel[d]) < 1e-7 * norm_v else vel[d] / area)
+                for d in range(2)
+            )
+            self._p(f"  Mean bubble velocity: {vstr}  ")
+            cstr = "  ".join(
+                fmt8(
+                    0.0
+                    if abs(com[d]) < 1e-7 * self.global_omega_diameter
+                    else com[d] / area
+                )
+                for d in range(2)
+            )
+            self._p(f"  Position of the center of mass:  {cstr}  ")
+            lo, hi = self.get_concentration_range()
+            self._p(f"  Range of level set values: {fmt8(lo)} / {fmt8(hi)}")
+
+        data = [self.time_stepping.now(), area, perimeter, circularity]
+        data += [vel[d] / area for d in range(2)]
+        data += [com[d] / area for d in range(2)]
+        return data
+
     def _compute_bubble_statistics_3d(self) -> list[float]:
         """Smeared heaviside-delta 3D bubble diagnostics
         (two_phase_base.cc:972-1091): volume = int H, surface area =
@@ -374,9 +568,92 @@ class TwoPhaseBaseAlgorithm:
         data.append(sphericity)
         return data
 
+    # -- AMR ------------------------------------------------------------
+    def mark_cells_for_refinement(self):
+        """Base criterion (two_phase_base.cc:325-390): per-cell L2 norm of
+        1 - c^2 against 0.3/0.1 x h^dim-of-last-cell thresholds, at most
+        every fifth step; boundary cells never refine. Returns int8 flags
+        (+1 refine / -1 coarsen) or None."""
+        par = self.parameters
+        if par.adaptive_refinements == 0 or self.time_stepping.step_no() % 5 != 0:
+            return None
+        from adaflo_tpu.ops.forest_ops import evaluator_for
+
+        sp = self.ls_space
+        ev = evaluator_for(sp, sp.degree + 1)
+        c = np.asarray(self.hanging_constraints_ls.distribute_values(self.solution[0]))
+        vals = np.asarray(ev.values(jnp.asarray(c)[sp.cell_dofs]))
+        err2 = (((1.0 - vals**2) ** 2) * np.asarray(ev.jxw_cells)).sum(axis=1)
+        err = np.sqrt(err2)
+        h_last = float(np.linalg.norm(sp.h_cells[-1]))
+        h_to_3 = h_last**2 * (h_last if self.mesh.dim == 3 else 1.0)
+        levels = sp.levels
+        upper = par.adaptive_refinements + self.refine_lower_level_limit
+        flags = np.zeros(len(levels), dtype=np.int8)
+        flags[(levels < upper) & (err > 0.3 * h_to_3)] = 1
+        flags[(levels > self.refine_lower_level_limit) & (err < 0.1 * h_to_3)] = -1
+        # do not refine boundary cells
+        flags[(flags == 1) & self._boundary_cell_mask()] = 0
+        if not flags.any():
+            return None
+        return flags
+
+    def _boundary_cell_mask(self) -> np.ndarray:
+        """Cells with at least one face on the domain boundary."""
+        forest = self.mesh
+        E = forest.n_cells
+        mask = np.zeros(E, dtype=bool)
+        for i in range(E):
+            for axis in range(forest.dim):
+                for side in (0, 1):
+                    nbr, _ = forest.face_neighbors(i, axis, side)
+                    if len(nbr) == 0:
+                        mask[i] = True
+                        break
+                if mask[i]:
+                    break
+        return mask
+
     def refine_grid(self) -> None:
-        """AMR hook; no-op on uniform meshes (adaptive refinements land with
-        the forest mesh)."""
+        """Adapt the forest by the marking criterion, transferring the NS
+        vectors (via NavierStokes.adapt_mesh) and the concentration/curvature
+        vectors by nodal interpolation, then rebuild the level-set
+        discretization (two_phase_base.cc:394-437)."""
+        if not self.is_forest:
+            return
+        flags = self.mark_cells_for_refinement()
+        if flags is None:
+            return
+        from adaflo_tpu.fe.forest_transfer import ForestFunction
+
+        snap = ForestFunction(self.ls_space)
+        dist = self.hanging_constraints_ls.distribute_values
+        old_fields = np.stack(
+            [
+                np.asarray(dist(v))[: self.ls_space.n_dofs]
+                for v in (
+                    self.solution[0],
+                    self.solution[1],
+                    self.solution_old[0],
+                    self.solution_old[1],
+                )
+            ]
+        )
+        if not self.navier_stokes.adapt_mesh(flags):
+            return
+        self._setup_ls_discretization()
+        new_vals = snap.evaluate(old_fields, self.ls_space.node_coords)
+        n = self.ls_space.n_dofs
+        pads = self.ls_space.n_dofs_padded
+        def vec(row):
+            v = jnp.zeros(pads).at[:n].set(jnp.asarray(row))
+            return self.hanging_constraints_ls.distribute_values(v)
+
+        self.solution[0] = vec(new_vals[0])
+        self.solution[1] = vec(new_vals[1])
+        self.solution_old[0] = vec(new_vals[2])
+        self.solution_old[1] = vec(new_vals[3])
+        self.last_refine_step = self.time_stepping.step_no()
 
     def output_solution(self, filename: str, n_subdivisions: int = 0) -> None:
         """Joint vtu output: velocity, pressure, concentration and the

@@ -128,7 +128,11 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
                 M=cheb,
                 reduction=reduction,
             )
-            return res.x, res.iterations
+            # conforming field (compute_normal.cc:275)
+            nv = jnp.stack(
+                [ops.con_nrm.distribute(res.x[d]) for d in range(dim)]
+            )
+            return nv, res.iterations
 
         self._normal_fn = normal_fn
 
@@ -148,7 +152,8 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
                 M=cheb,
                 reduction=1e-8,
             )
-            return res.x, res.iterations
+            # conforming field (compute_curvature.cc:379)
+            return ops.con_curv.distribute(res.x), res.iterations
 
         self._curvature_fn = curvature_fn
 
@@ -311,14 +316,11 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         self.compute_curvature()
         ns = self.navier_stokes
         user_u, rho_q, mu_q = self._force_fn(self.heaviside, self.solution[1])
+        # condense like distribute_local_to_global: hanging-slave rows move
+        # to their masters, constrained rows read zero (on uniform meshes
+        # this is plain zeroing of the Dirichlet rows, as before)
         for c in range(self.mesh.dim):
-            user_u = user_u.at[c].set(
-                user_u[c]
-                .at[ns.constraints_u[c].constrained_dofs]
-                .set(0.0)
-                if len(ns.constraints_u[c].constrained_dofs)
-                else user_u[c]
-            )
+            user_u = user_u.at[c].set(ns.constraints_u[c].condense(user_u[c]))
         ns.user_rhs[0] = user_u
         if rho_q is not None:
             ns.coefficients = Coefficients(rho_q, mu_q, None)
@@ -347,6 +349,89 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         self.old_residual = actual_res
 
         return ns.solve_nonlinear_system(actual_res)
+
+    # ------------------------------------------------------------------
+    def mark_cells_for_refinement(self):
+        """Level-set gradient criterion with flow-direction look-ahead bias
+        (level_set_base.cc:295-412): probe |normal| at the tensor lattice of
+        {0.05, 0.95} per cell, distance = log(max|n| * eps_used); refine when
+        close to the interface (level-capped), coarsen far away."""
+        par = self.parameters
+        if par.adaptive_refinements == 0:
+            return None
+        ts = self.time_stepping
+        if ts.step_no() == 0:
+            self.compute_normal(True)
+        from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+        sp = self.ls_space
+        usp = self.navier_stokes.u_space
+        pts = np.array([0.05, 0.95])
+        w0 = np.zeros_like(pts)
+        ev_ls = VariableCellEvaluator(sp.dim, sp.basis, (pts, w0), sp.h_cells)
+        ev_u = VariableCellEvaluator(sp.dim, usp.basis, (pts, w0), sp.h_cells)
+        nv = np.asarray(self.normal_vector_field)
+        nvals = np.asarray(
+            ev_ls.values(
+                jnp.asarray(
+                    np.stack([nv[d][sp.cell_dofs] for d in range(sp.dim)], axis=1)
+                )
+            )
+        )  # (E, dim, n_pts)
+        gnorm = np.sqrt((nvals**2).sum(axis=1))  # (E, n_pts)
+        with np.errstate(divide="ignore"):
+            distance = np.log(
+                np.maximum(gnorm.max(axis=1) * self.epsilon_used, 1e-300)
+            )
+        levels = sp.levels
+        upper = par.adaptive_refinements + self.refine_lower_level_limit
+        lower = self.refine_lower_level_limit
+
+        # probe phase (level_set_base.cc:332-368): only act when some cell
+        # genuinely triggers
+        trigger = ((levels < upper) & (distance > -3.5)) | (
+            (ts.step_no() == 0) & (levels > lower) & (distance < -8)
+        )
+        if not trigger.any():
+            return None
+
+        # look-ahead bias: gradient at the LAST probe point, velocity and
+        # level-set value at the FIRST (mirroring the reference's loop state)
+        c = np.asarray(
+            self.hanging_constraints_ls.distribute_values(self.solution[0])
+        )
+        c_first = np.asarray(
+            ev_ls.values(jnp.asarray(c[sp.cell_dofs]))
+        )[:, 0]
+        u = np.asarray(self.navier_stokes.solution[0])
+        u_first = np.asarray(
+            ev_u.values(
+                jnp.asarray(np.transpose(u[:, usp.cell_dofs], (1, 0, 2)))
+            )
+        )[:, :, 0]  # (E, dim)
+        g_last = nvals[:, :, -1]  # (E, dim)
+        g_last_norm = np.linalg.norm(g_last, axis=1)
+        direction = (
+            4.0
+            * ts.step_size()
+            * np.einsum("ed,ed->e", g_last, u_first)
+            / np.maximum(g_last_norm, 1e-300)
+            / self.epsilon_used
+        )
+        mod_distance = distance + direction * c_first
+
+        flags = np.zeros(len(levels), dtype=np.int8)
+        refine = (levels < upper) & ((mod_distance > -7) | (distance > -4))
+        coarsen = (
+            ~refine
+            & (levels > lower)
+            & ((mod_distance < -8) | (distance < -5))
+        )
+        flags[refine] = 1
+        flags[coarsen] = -1
+        if not flags.any():
+            return None
+        return flags
 
     # ------------------------------------------------------------------
     def setup_problem(self, initial_velocity_fn, initial_distance_fn) -> None:

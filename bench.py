@@ -69,9 +69,12 @@ end
     key = jax.random.PRNGKey(0)
     u = jax.random.normal(key, (3, u_space.n_dofs), dtype)
     p = jax.random.normal(key, (p_space.n_dofs,), dtype)
-    lin_val = op.ev_u.values(op._gather_u(u, resolve=False))
-    lin_grad = op.ev_u.gradients(op._gather_u(u, resolve=False))
-    lin = Linearized(lin_val, lin_grad, jnp.trace(lin_grad, axis1=1, axis2=2))
+    lin_dofs = op._gather_u(u, resolve=False)
+    lin_val = op.ev_u.values(lin_dofs)
+    lin_grad = op.ev_u.gradients(lin_dofs)
+    lin = Linearized(
+        lin_val, lin_grad, jnp.trace(lin_grad, axis1=1, axis2=2), lin_dofs
+    )
 
     reps = int(os.environ.get("ADAFLO_BENCH_REPS", "20"))
 

@@ -13,3 +13,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+# initialize the backend NOW: the axon plugin re-overrides jax_platforms at
+# its (lazy) registration, so without this an unluckily-ordered first jax op
+# lands tests on the TPU in f64 emulation (~330x slower, and Mosaic f64
+# kernels fail to lower)
+jax.devices()

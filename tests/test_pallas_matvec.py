@@ -1,0 +1,78 @@
+"""Fused Pallas coupled-matvec kernel vs the reference einsum path.
+
+The kernel (ops/pallas_matvec.py) serves the TPU f32 deployment path; here
+it runs in interpret mode on CPU in f64 and must agree with the einsum
+operator to machine precision.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.ops.navier_stokes import (
+    Linearized,
+    NavierStokesOperator,
+    TimeWeights,
+)
+from adaflo_tpu.parameters import FlowParameters
+
+
+def _make_op():
+    import jax
+
+    par = FlowParameters.from_string(
+        """
+subsection Navier-Stokes
+  set dimension = 3
+  set velocity degree = 2
+  set viscosity = 0.05
+end
+"""
+    )
+    mesh = StructuredMesh((3, 4, 2), (0.0, 0.0, 0.0), (1.0, 1.3, 0.7))
+    us, ps = ScalarSpace(mesh, 2), ScalarSpace(mesh, 1)
+    cu = []
+    for _ in range(3):
+        c = Constraints(us.n_dofs)
+        c.close()
+        cu.append(c)
+    cp = Constraints(ps.n_dofs)
+    cp.close()
+    return par, us, ps, cu, cp
+
+
+def test_pallas_coupled_vmult_matches_einsum(monkeypatch):
+    import jax
+
+    par, us, ps, cu, cp = _make_op()
+    monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "1")
+    op_pl = NavierStokesOperator(par, us, ps, cu, cp)
+    assert op_pl._pallas_tables is not None
+    monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "0")
+    op_ref = NavierStokesOperator(par, us, ps, cu, cp)
+    assert op_ref._pallas_tables is None
+
+    tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
+    key = jax.random.PRNGKey(3)
+    u = jax.random.normal(key, (3, us.n_dofs))
+    p = jax.random.normal(key, (ps.n_dofs,))
+    ld = op_ref._gather_u(u, resolve=False)
+    lv = op_ref.ev_u.values(ld)
+    lg = op_ref.ev_u.gradients(ld)
+    lin = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), ld)
+
+    ru1, rp1 = op_pl.vmult(u, p, tw, lin)
+    ru2, rp2 = op_ref.vmult(u, p, tw, lin)
+    scale = float(jnp.abs(ru2).max())
+    assert float(jnp.abs(ru1 - ru2).max()) < 1e-12 * scale
+    assert float(jnp.abs(rp1 - rp2).max()) < 1e-12 * scale
+
+    # without linearization dofs the fast path must fall back (same result)
+    lin_nodofs = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), None)
+    ru3, _ = op_pl.vmult(u, p, tw, lin_nodofs)
+    assert float(jnp.abs(ru3 - ru2).max()) < 1e-12 * scale
