@@ -105,6 +105,24 @@ class CellMapping:
         Vm, _ = self.tabulate(ref_pts)
         return np.einsum("pi,eia->epa", Vm, self.support_points)
 
+    def cell_diameters(self):
+        """(per-cell max |eigenvalue of J|, global min, global max) probed at
+        the 4 face centers + cell center — compute_cell_diameters
+        (util.h:47-120)."""
+        probes = np.array(
+            [[0.0, 0.5], [1.0, 0.5], [0.5, 0.0], [0.5, 1.0], [0.5, 0.5]]
+        )
+        J, _ = self.jacobians(probes)  # (E, 5, 2, 2)
+        tr = J[..., 0, 0] + J[..., 1, 1]
+        det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+        disc = np.sqrt(np.maximum(tr * tr / 4.0 - det, 0.0))
+        lam1 = np.abs(tr / 2.0 + disc)
+        lam2 = np.abs(tr / 2.0 - disc)
+        per_cell_max = np.maximum(lam1, lam2).max(axis=1)  # (E,)
+        gmin = float(np.minimum(lam1, lam2).min())
+        gmax = float(per_cell_max.max())
+        return per_cell_max, gmin, gmax
+
     def face_support_points(self, cell: int, local_face: int) -> np.ndarray:
         """Mapping support points on a local face, in face-parameter order
         (the cell-local edge direction): (m+1, 2)."""
@@ -297,6 +315,26 @@ class MappedSpace:
                 nrm = -nrm
             normals[i] = nrm
         return face_dofs, qcoords, V_face, jxw, normals
+
+    def boundary_normal_axis_dofs(self, bid: int) -> List[Tuple[int, np.ndarray]]:
+        """(normal axis, dofs) per axis-aligned boundary plane with this id
+        (symmetry / normal-flux constraints). Curved edges with such
+        conditions are rejected."""
+        by_axis: Dict[int, List[np.ndarray]] = {}
+        for key in self.mesh.boundary_edges_with_id(bid):
+            t = self.mesh.vertices[key[1]] - self.mesh.vertices[key[0]]
+            if abs(t[0]) < 1e-12 * abs(t[1]):
+                axis = 0  # vertical edge -> x-normal
+            elif abs(t[1]) < 1e-12 * abs(t[0]):
+                axis = 1
+            else:
+                raise NotImplementedError(
+                    "symmetry/normal-flux on non-axis-aligned boundary edges"
+                )
+            by_axis.setdefault(axis, []).append(self._edge_dofs(key))
+        return [
+            (axis, np.unique(np.concatenate(lst))) for axis, lst in by_axis.items()
+        ]
 
     # -- constraints helper (test convenience) --------------------------------
     def make_constraints(self, dirichlet: Optional[np.ndarray] = None) -> Constraints:

@@ -232,9 +232,46 @@ class SimplexSpace:
             normals[i] = nrm[None, :]
         return face_dofs, qcoords, V_face, jxw, normals
 
+    def boundary_normal_axis_dofs(self, bid: int) -> List[Tuple[int, np.ndarray]]:
+        """(normal axis, dofs) per axis-aligned boundary line with this id
+        (symmetry / normal-flux constraints)."""
+        by_axis: Dict[int, List[np.ndarray]] = {}
+        for key in self.mesh.boundary_edges_with_id(bid):
+            t = self.mesh.vertices[key[1]] - self.mesh.vertices[key[0]]
+            if abs(t[0]) < 1e-12 * abs(t[1]):
+                axis = 0
+            elif abs(t[1]) < 1e-12 * abs(t[0]):
+                axis = 1
+            else:
+                raise NotImplementedError(
+                    "symmetry/normal-flux on non-axis-aligned boundary edges"
+                )
+            by_axis.setdefault(axis, []).append(self._edge_dofs(key))
+        return [
+            (axis, np.unique(np.concatenate(lst))) for axis, lst in by_axis.items()
+        ]
+
     def make_constraints(self, dirichlet: Optional[np.ndarray] = None) -> Constraints:
         con = Constraints(self.n_dofs)
         if dirichlet is not None and len(dirichlet):
             con.add_dirichlet(dirichlet)
         con.close()
         return con
+
+
+def simplex_cell_diameters(mesh: TriMesh):
+    """(per-cell max |eigenvalue of the affine Jacobian|, global min, global
+    max) — the simplex counterpart of compute_cell_diameters (util.h)."""
+    v = mesh.vertices[mesh.cells]
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=-1)  # (E,2,2)
+    tr = J[:, 0, 0] + J[:, 1, 1]
+    det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    disc_sq = tr * tr / 4.0 - det
+    s = np.sqrt(np.maximum(disc_sq, 0.0))
+    real_max = np.maximum(np.abs(tr / 2.0 + s), np.abs(tr / 2.0 - s))
+    real_min = np.minimum(np.abs(tr / 2.0 + s), np.abs(tr / 2.0 - s))
+    # complex pair (disc_sq < 0): |lambda| = sqrt(det)
+    cmod = np.sqrt(np.abs(det))
+    lam_max = np.where(disc_sq >= 0, real_max, cmod)
+    lam_min = np.where(disc_sq >= 0, real_min, cmod)
+    return lam_max, float(lam_min.min()), float(lam_max.max())

@@ -317,6 +317,15 @@ class QuadMesh:
         new_cells = rank[inverse][cells]
         return cls(new_verts, new_cells)
 
+    def removed_cells(self, predicate: Callable[[np.ndarray], bool]) -> "QuadMesh":
+        """New mesh without the cells whose center satisfies the predicate
+        (GridGenerator::create_triangulation_with_removed_cells)."""
+        centers = self.cell_centers()
+        keep = np.array([not predicate(c) for c in centers])
+        cells = self.cells[keep]
+        used, inverse = np.unique(cells.reshape(-1), return_inverse=True)
+        return QuadMesh(self.vertices[used], inverse.reshape(cells.shape))
+
     def moved_vertices(
         self, moves: List[Tuple[Tuple[float, float], Tuple[float, float], float]]
     ) -> None:
@@ -351,6 +360,198 @@ class QuadMesh:
 
 
 _FLAT = FlatManifold()
+
+
+# ---------------------------------------------------------------------------
+class HexMesh:
+    """3D unstructured mesh of AXIS-ALIGNED hexahedra.
+
+    Covers the reference's extruded configurations
+    (GridGenerator::extrude_triangulation in flow_past_square_cylinder.cc:
+    a 2D quad mesh with removed cells swept in z): cells are boxes, so
+    per-cell geometry is diagonal (h_cells) and the forest-style
+    VariableCellEvaluator path applies; only the connectivity is
+    unstructured. Local vertex order is lexicographic
+    (v0=(0,0,0), v1=(1,0,0), v2=(0,1,0), ..., v7=(1,1,1))."""
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray) -> None:
+        self.dim = 3
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.cells = np.asarray(cells, dtype=np.int64)
+        self.periodic = [False] * 3
+        self._face_boundary_id: Dict[Tuple[int, ...], int] = {}
+        self._rebuild_faces()
+
+    # local faces as vertex quadruples (any order; identity by sorted set)
+    _LOCAL_FACES = (
+        (0, 2, 4, 6),  # x=0
+        (1, 3, 5, 7),  # x=1
+        (0, 1, 4, 5),  # y=0
+        (2, 3, 6, 7),  # y=1
+        (0, 1, 2, 3),  # z=0
+        (4, 5, 6, 7),  # z=1
+    )
+
+    def _rebuild_faces(self) -> None:
+        count: Dict[Tuple[int, ...], int] = {}
+        for cell in self.cells:
+            for f in self._LOCAL_FACES:
+                key = tuple(sorted(int(cell[i]) for i in f))
+                count[key] = count.get(key, 0) + 1
+        self.boundary_face_keys = [k for k, c in count.items() if c == 1]
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    def cell_geometry(self):
+        """(centers (E, 3), extents (E, 3)) — cells are axis-aligned boxes
+        (the ForestMesh protocol, shared with the VTU writer)."""
+        v = self.vertices[self.cells]  # (E, 8, 3)
+        lo = v.min(axis=1)
+        hi = v.max(axis=1)
+        return 0.5 * (lo + hi), hi - lo
+
+    @property
+    def h_cells(self) -> np.ndarray:
+        return self.cell_geometry()[1]
+
+    @property
+    def cell_diameter(self) -> float:
+        h = self.h_cells
+        return float(np.linalg.norm(h, axis=1).min())
+
+    @property
+    def last_cell_diameter(self) -> float:
+        return float(np.linalg.norm(self.h_cells[-1]))
+
+    def face_center(self, key) -> np.ndarray:
+        return self.vertices[list(key)].mean(axis=0)
+
+    def set_boundary_id_by_center(
+        self, predicate: Callable[[np.ndarray], bool], boundary_id: int
+    ) -> None:
+        for key in self.boundary_face_keys:
+            if predicate(self.face_center(key)):
+                self._face_boundary_id[key] = boundary_id
+
+    def boundary_id(self, key) -> int:
+        return self._face_boundary_id.get(key, 0)
+
+    def boundary_faces_with_id(self, boundary_id: int):
+        return [
+            k for k in self.boundary_face_keys if self.boundary_id(k) == boundary_id
+        ]
+
+    def all_boundary_ids(self) -> set:
+        return {self.boundary_id(k) for k in self.boundary_face_keys}
+
+    def set_periodic(self, axis: int) -> None:
+        raise NotImplementedError(
+            "periodicity on unstructured hex meshes is not supported"
+        )
+
+    def refine_global(self, times: int = 1) -> None:
+        for _ in range(times):
+            self._refine_once()
+
+    def _refine_once(self) -> None:
+        verts = list(self.vertices)
+        cache: Dict[Tuple[int, ...], int] = {}
+
+        def point(ids):
+            key = tuple(sorted(ids))
+            if key not in cache:
+                cache[key] = len(verts)
+                verts.append(self.vertices[list(key)].mean(axis=0))
+            return cache[key]
+
+        new_cells = []
+        child_face_ids: Dict[Tuple[int, ...], int] = {}
+        for cell in self.cells:
+            c = [int(v) for v in cell]
+            # lattice of 27 points: corners, edge/face/cell midpoints of the box
+            lat = {}
+            for iz in range(3):
+                for iy in range(3):
+                    for ix in range(3):
+                        sel = []
+                        for dz in ([0] if iz == 0 else [1] if iz == 2 else [0, 1]):
+                            for dy in ([0] if iy == 0 else [1] if iy == 2 else [0, 1]):
+                                for dx in ([0] if ix == 0 else [1] if ix == 2 else [0, 1]):
+                                    sel.append(c[dz * 4 + dy * 2 + dx])
+                        lat[(ix, iy, iz)] = (
+                            sel[0] if len(sel) == 1 else point(sel)
+                        )
+            for oz in range(2):
+                for oy in range(2):
+                    for ox in range(2):
+                        new_cells.append(
+                            [
+                                lat[(ox + dx, oy + dy, oz + dz)]
+                                for dz in (0, 1)
+                                for dy in (0, 1)
+                                for dx in (0, 1)
+                            ]
+                        )
+            # child boundary faces inherit the parent face id
+            for f in self._LOCAL_FACES:
+                key = tuple(sorted(c[i] for i in f))
+                bid = self._face_boundary_id.get(key)
+                if bid is None:
+                    continue
+                corners = [c[i] for i in f]
+                mids = {}
+                # children faces: 4 quads from corner+edge-mid+center points
+                pts = {v: v for v in corners}
+                # face lattice via the cached midpoint helper
+                e01 = point([corners[0], corners[1]])
+                e23 = point([corners[2], corners[3]])
+                e02 = point([corners[0], corners[2]])
+                e13 = point([corners[1], corners[3]])
+                ctr = point(corners)
+                quads = [
+                    (corners[0], e01, e02, ctr),
+                    (e01, corners[1], ctr, e13),
+                    (e02, ctr, corners[2], e23),
+                    (ctr, e13, e23, corners[3]),
+                ]
+                for q in quads:
+                    child_face_ids[tuple(sorted(q))] = bid
+        self.vertices = np.asarray(verts)
+        self.cells = np.asarray(new_cells, dtype=np.int64)
+        self._face_boundary_id = dict(child_face_ids)
+        self._rebuild_faces()
+
+    @classmethod
+    def extrude(cls, quad_mesh: "QuadMesh", n_slices: int, height: float) -> "HexMesh":
+        """Sweep a 2D quad mesh in z over n_slices planes
+        (GridGenerator::extrude_triangulation)."""
+        n_layers = n_slices - 1
+        V2 = quad_mesh.n_vertices
+        z = np.linspace(0.0, height, n_slices)
+        verts = np.concatenate(
+            [
+                np.concatenate(
+                    [quad_mesh.vertices, np.full((V2, 1), zz)], axis=1
+                )
+                for zz in z
+            ]
+        )
+        cells = []
+        for l in range(n_layers):
+            lo = l * V2
+            hi = (l + 1) * V2
+            for q in quad_mesh.cells:
+                cells.append(
+                    [lo + q[0], lo + q[1], lo + q[2], lo + q[3],
+                     hi + q[0], hi + q[1], hi + q[2], hi + q[3]]
+                )
+        return cls(verts, np.asarray(cells, dtype=np.int64))
 
 
 # ---------------------------------------------------------------------------
@@ -509,9 +710,10 @@ class TriMesh:
 
 
 def read_msh(path: str):
-    """Read a Gmsh 4.1 ASCII .msh file (the format of the reference's
-    simplex test meshes, e.g. tests/simplex_channel_*.msh). Returns a TriMesh
-    (triangle elements) or QuadMesh (quadrilateral elements); 2D only."""
+    """Read a Gmsh ASCII .msh file, versions 2.2 and 4.1 (the formats of
+    the reference's meshes: tests/simplex_channel_*.msh are 4.1,
+    applications/microfluidic_2D.msh is 2.2). Returns a TriMesh (triangle
+    elements) or QuadMesh (quadrilateral elements); 2D only."""
     with open(path) as f:
         lines = [l.strip() for l in f]
     i = 0
@@ -526,8 +728,10 @@ def read_msh(path: str):
 
     section("MeshFormat")
     version = lines[i].split()[0]
+    if version.startswith("2"):
+        return _read_msh_v2(lines, i, path)
     if not version.startswith("4"):
-        raise NotImplementedError(f"msh version {version}; only 4.x supported")
+        raise NotImplementedError(f"msh version {version}; only 2.x/4.x supported")
 
     section("Nodes")
     n_blocks, n_nodes = (int(v) for v in lines[i].split()[:2])
@@ -559,6 +763,53 @@ def read_msh(path: str):
         i += n_in_block
 
     # compress node numbering to used nodes
+    if tris:
+        cells = np.asarray(tris, dtype=np.int64)
+    elif quads:
+        cells = np.asarray(quads, dtype=np.int64)
+    else:
+        raise ValueError(f"no triangle/quad elements in {path}")
+    used, inverse = np.unique(cells.reshape(-1), return_inverse=True)
+    verts = coords[used][:, :2]
+    cells = inverse.reshape(cells.shape)
+    return TriMesh(verts, cells) if tris else QuadMesh(verts, cells)
+
+
+def _read_msh_v2(lines, i, path):
+    """Gmsh 2.2 ASCII: $Nodes <n> / tag x y z; $Elements <n> /
+    tag type n_tags <tags...> <nodes...>."""
+
+    def section(name):
+        nonlocal i
+        while i < len(lines) and lines[i] != f"${name}":
+            i += 1
+        if i == len(lines):
+            raise ValueError(f"section {name} not found in {path}")
+        i += 1
+
+    section("Nodes")
+    n_nodes = int(lines[i])
+    i += 1
+    coords = np.zeros((n_nodes + 1, 3))
+    for k in range(n_nodes):
+        parts = lines[i + k].split()
+        coords[int(parts[0])] = [float(v) for v in parts[1:4]]
+    i += n_nodes
+
+    section("Elements")
+    n_el = int(lines[i])
+    i += 1
+    tris, quads = [], []
+    for k in range(n_el):
+        parts = [int(v) for v in lines[i + k].split()]
+        el_type = parts[1]
+        n_tags = parts[2]
+        nodes = parts[3 + n_tags :]
+        if el_type == 2:
+            tris.append(nodes[:3])
+        elif el_type == 3:
+            a, b, c, d = nodes[:4]
+            quads.append([a, b, d, c])  # ccw corner -> lexicographic order
     if tris:
         cells = np.asarray(tris, dtype=np.int64)
     elif quads:

@@ -30,10 +30,12 @@ def evaluator_for(space, n_q_1d: int, dtype=None):
         from adaflo_tpu.ops.mapped import SimplexEvaluator
 
         return SimplexEvaluator(space, n_q_1d, dtype)
-    if getattr(space, "is_mapped", False):
+    if hasattr(space, "mapping"):
+        # curved 2D quads with full Jacobians
         from adaflo_tpu.ops.mapped import MappedEvaluator
 
         return MappedEvaluator(space.dim, space.basis, n_q_1d, space.mapping, dtype)
+    # per-cell Cartesian geometry (forests, axis-aligned hex meshes)
     return VariableCellEvaluator(space.dim, space.basis, n_q_1d, space.h_cells, dtype)
 
 

@@ -63,10 +63,28 @@ class LevelSetOperators:
         sub = parameters.concentration_subdivisions
         self.subdiv = sub
         self.is_forest = getattr(ls_space, "is_forest", False)
+        self.is_simplex = getattr(ls_space, "is_simplex", False)
+        self.is_mapped = (
+            getattr(ls_space, "is_mapped", False) and not self.is_simplex
+        )
 
         q_ls = iterated_gauss_quadrature(sub, 2)
         nq_ns = parameters.velocity_degree + 1
-        if self.is_forest:
+        if self.is_simplex:
+            # simplex meshes: QGaussSimplex(deg+1) rules (two_phase_base.cc
+            # simplex quadrature branch); LS space is FE_SimplexP(sub)
+            from adaflo_tpu.ops.lattice import IndexMapOps
+            from adaflo_tpu.ops.mapped import SimplexEvaluator
+
+            n_ls = ls_space.degree + 1
+            self.ev_ls = SimplexEvaluator(ls_space, n_ls)
+            self.ev_u_lsq = SimplexEvaluator(u_space, n_ls)
+            self.ev_ls_nsq = SimplexEvaluator(ls_space, nq_ns)
+            self.ev_p_nsq = SimplexEvaluator(p_space, nq_ns)
+            self.ev_u_nsq = SimplexEvaluator(u_space, nq_ns)
+            self.lat_ls = IndexMapOps.for_space(ls_space)
+            self.lat_u = IndexMapOps.for_space(u_space)
+        elif self.is_forest:
             # adaptive forest: per-cell geometry + index-map gather/scatter
             from adaflo_tpu.ops.lattice import IndexMapOps
             from adaflo_tpu.ops.tensor import VariableCellEvaluator
@@ -77,6 +95,20 @@ class LevelSetOperators:
             self.ev_ls_nsq = VariableCellEvaluator(self.dim, ls_space.basis, nq_ns, hc)
             self.ev_p_nsq = VariableCellEvaluator(self.dim, p_space.basis, nq_ns, hc)
             self.ev_u_nsq = VariableCellEvaluator(self.dim, u_space.basis, nq_ns, hc)
+            self.lat_ls = IndexMapOps.for_space(ls_space)
+            self.lat_u = IndexMapOps.for_space(u_space)
+        elif self.is_mapped:
+            # unstructured (curved) meshes: full-Jacobian evaluators shared
+            # through the spaces' CellMapping
+            from adaflo_tpu.ops.lattice import IndexMapOps
+            from adaflo_tpu.ops.mapped import MappedEvaluator
+
+            mp = ls_space.mapping
+            self.ev_ls = MappedEvaluator(self.dim, ls_space.basis, q_ls, mp)
+            self.ev_u_lsq = MappedEvaluator(self.dim, u_space.basis, q_ls, mp)
+            self.ev_ls_nsq = MappedEvaluator(self.dim, ls_space.basis, nq_ns, mp)
+            self.ev_p_nsq = MappedEvaluator(self.dim, p_space.basis, nq_ns, mp)
+            self.ev_u_nsq = MappedEvaluator(self.dim, u_space.basis, nq_ns, mp)
             self.lat_ls = IndexMapOps.for_space(ls_space)
             self.lat_u = IndexMapOps.for_space(u_space)
         else:
@@ -97,11 +129,18 @@ class LevelSetOperators:
         self.epsilon_used = epsilon_used
         self.cell_diameter = cell_diameter  # max |J eigenvalue| = max(h)
         self.minimal_edge_length = minimal_edge_length
-        if self.is_forest:
-            # per-cell diameter = max Jacobian eigenvalue = max(h_cell)
-            # (util.h:47-120); diffusion/damping follow the per-cell formulas
-            # of reinit.cc:82-86 and compute_normal.cc:108-112
-            diam = np.max(ls_space.h_cells, axis=1)  # (E,)
+        if self.is_forest or self.is_mapped or self.is_simplex:
+            # per-cell diameter = max Jacobian eigenvalue (util.h:47-120);
+            # diffusion/damping follow the per-cell formulas of
+            # reinit.cc:82-86 and compute_normal.cc:108-112
+            if self.is_forest:
+                diam = np.max(ls_space.h_cells, axis=1)  # (E,)
+            elif self.is_simplex:
+                from adaflo_tpu.fe.simplex import simplex_cell_diameters
+
+                diam, _, _ = simplex_cell_diameters(ls_space.mesh)
+            else:
+                diam, _, _ = ls_space.mapping.cell_diameters()
             self.reinit_diffusion = jnp.asarray(np.maximum(epsilon_used, diam / sub))
             self.projection_damping = jnp.asarray(
                 4.0
@@ -121,10 +160,13 @@ class LevelSetOperators:
         # interpolation of the concentration space onto pressure support
         # points (level_set_base.cc:65-137), for grad-pressure-compatible
         # surface tension: (n_p_local, n_ls_local)
-        Vp1, _ = ls_space.basis.tabulate(p_space.basis.nodes)
-        P = Vp1
-        for _ in range(self.dim - 1):
-            P = np.kron(Vp1, P)
+        if self.is_simplex:
+            P, _ = ls_space.element.tabulate(p_space.element.nodes)
+        else:
+            Vp1, _ = ls_space.basis.tabulate(p_space.basis.nodes)
+            P = Vp1
+            for _ in range(self.dim - 1):
+                P = np.kron(Vp1, P)
         self.interp_ls_to_p = jnp.asarray(P)
 
     # -- gather/scatter helpers -----------------------------------------

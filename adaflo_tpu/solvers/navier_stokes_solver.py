@@ -85,9 +85,9 @@ class NavierStokes(FlowBaseAlgorithm):
 
     @property
     def is_mapped(self) -> bool:
-        from adaflo_tpu.mesh.unstructured import QuadMesh, TriMesh
+        from adaflo_tpu.mesh.unstructured import HexMesh, QuadMesh, TriMesh
 
-        return isinstance(self.mesh, (QuadMesh, TriMesh))
+        return isinstance(self.mesh, (QuadMesh, TriMesh, HexMesh))
 
     def setup_problem(self, initial_velocity_fn=None) -> None:
         par = self.parameters
@@ -110,15 +110,13 @@ class NavierStokes(FlowBaseAlgorithm):
         mesh = self.mesh
         if self.is_mapped:
             from adaflo_tpu.fe.mapped_space import CellMapping, MappedSpace
+            from adaflo_tpu.mesh.unstructured import HexMesh, TriMesh
 
             bd = self.boundary
-            if bd.symmetry or bd.normal_flux or bd.periodic_axes:
+            if bd.periodic_axes:
                 raise NotImplementedError(
-                    "unstructured-mesh NS currently supports Dirichlet/"
-                    "no-slip/open boundaries and pressure fix"
+                    "periodicity on unstructured meshes is not supported"
                 )
-            from adaflo_tpu.mesh.unstructured import TriMesh
-
             if isinstance(mesh, TriMesh):
                 # simplex mesh: FE_SimplexP spaces on affine triangles
                 # (navier_stokes.cc FE_SimplexP branch)
@@ -126,12 +124,25 @@ class NavierStokes(FlowBaseAlgorithm):
 
                 self.u_space = SimplexSpace(mesh, par.velocity_degree)
                 self.p_space = SimplexSpace(mesh, par.pressure_degree)
+            elif isinstance(mesh, HexMesh):
+                # 3D extruded / axis-aligned hex configurations
+                from adaflo_tpu.fe.hex_space import Hex3DSpace
+
+                self.u_space = Hex3DSpace(mesh, par.velocity_degree)
+                self.p_space = Hex3DSpace(mesh, par.pressure_degree)
             else:
                 # one mapping shared by velocity and pressure (the
                 # reference's single MappingQ(3), flow_base_algorithm.cc:44-46)
                 self.cell_mapping = CellMapping(mesh, degree=3)
                 self.u_space = MappedSpace(mesh, par.velocity_degree, self.cell_mapping)
                 self.p_space = MappedSpace(mesh, par.pressure_degree, self.cell_mapping)
+            if (bd.symmetry or bd.normal_flux) and not hasattr(
+                self.u_space, "boundary_normal_axis_dofs"
+            ):
+                raise NotImplementedError(
+                    "symmetry/normal-flux boundaries on this unstructured "
+                    "mesh type are not supported"
+                )
         elif self.is_forest:
             from adaflo_tpu.fe.forest_space import ForestSpace
 
@@ -214,7 +225,19 @@ class NavierStokes(FlowBaseAlgorithm):
                 cu[c].add_dirichlet(dofs)
 
         # per-side normal components for symmetry / tangential for normal-flux
-        if bd.symmetry or bd.normal_flux:
+        if (bd.symmetry or bd.normal_flux) and hasattr(
+            u_space, "boundary_normal_axis_dofs"
+        ):
+            # unstructured axis-aligned boundaries (hex meshes)
+            for bid in bd.symmetry | bd.normal_flux:
+                for axis, dofs in u_space.boundary_normal_axis_dofs(bid):
+                    if bid in bd.symmetry:
+                        cu[axis].add_dirichlet(dofs)
+                    if bid in bd.normal_flux:
+                        for c in range(self.dim):
+                            if c != axis:
+                                cu[c].add_dirichlet(dofs)
+        elif bd.symmetry or bd.normal_flux:
             for axis in range(self.dim):
                 for end in (0, 1):
                     ids_here = set(np.unique(self.mesh.boundary_ids(axis, end)))
@@ -650,11 +673,18 @@ class NavierStokes(FlowBaseAlgorithm):
         )
         iters = int(it1)
         residual = float(res1)
-        if not bool(conv) and par.iterations_before_inner_solvers < par.max_lin_iteration:
+        if not bool(conv):
+            # second stage with inner solves (navier_stokes.cc:588-641). The
+            # reference enters it after `iterations_before_inner_solvers`;
+            # when the config leaves no room for it (its relies on ILU
+            # strength we replace matrix-free), retry with inner solves for
+            # the full budget — our analog of that ILU robustness.
+            stage2 = max(
+                par.max_lin_iteration - par.iterations_before_inner_solvers, 0
+            ) or par.max_lin_iteration
             du, dp, it2, res2, conv = self._solve_fn(
                 rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, True,
-                max(par.max_lin_iteration - par.iterations_before_inner_solvers, 0),
-                u_robust,
+                stage2, u_robust,
             )
             iters += int(it2)
             residual = float(res2)

@@ -62,11 +62,28 @@ class TwoPhaseBaseAlgorithm:
 
         return isinstance(self.mesh, ForestMesh)
 
+    @property
+    def is_mapped(self) -> bool:
+        from adaflo_tpu.mesh.unstructured import QuadMesh
+
+        return isinstance(self.mesh, QuadMesh)
+
+    @property
+    def is_simplex(self) -> bool:
+        from adaflo_tpu.mesh.unstructured import TriMesh
+
+        return isinstance(self.mesh, TriMesh)
+
     # ------------------------------------------------------------------
     def setup_problem(self, initial_velocity_fn, initial_distance_fn) -> None:
         par = self.parameters
         mesh = self.mesh
-        self.global_omega_diameter = float(np.linalg.norm(mesh.lengths))
+        if hasattr(mesh, "lengths"):
+            self.global_omega_diameter = float(np.linalg.norm(mesh.lengths))
+        else:
+            # unstructured: bounding-box diagonal (GridTools::diameter)
+            span = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
+            self.global_omega_diameter = float(np.linalg.norm(span))
         if par.global_refinements < 15:
             mesh.refine_global(par.global_refinements)
 
@@ -116,6 +133,20 @@ class TwoPhaseBaseAlgorithm:
             self.ls_space = ForestSpace(
                 mesh, par.concentration_subdivisions, self.concentration_support
             )
+        elif self.is_simplex:
+            # FE_SimplexP(concentration subdivisions) (level_set_base.cc:54-60)
+            from adaflo_tpu.fe.simplex import SimplexSpace
+
+            self.ls_space = SimplexSpace(mesh, par.concentration_subdivisions)
+        elif self.is_mapped:
+            from adaflo_tpu.fe.mapped_space import MappedSpace
+
+            self.ls_space = MappedSpace(
+                mesh,
+                par.concentration_subdivisions,
+                self.navier_stokes.cell_mapping,
+                self.concentration_support,
+            )
         else:
             self.ls_space = ScalarSpace(
                 mesh, par.concentration_subdivisions, self.concentration_support
@@ -131,12 +162,22 @@ class TwoPhaseBaseAlgorithm:
             finest = levels == levels.max()
             self.cell_diameter = float(np.max(h_cells[finest]))
             self.minimal_edge_length = float(np.min(h_cells))
+        elif self.is_simplex:
+            from adaflo_tpu.fe.simplex import simplex_cell_diameters
+
+            _, gmin, gmax = simplex_cell_diameters(mesh)
+            self.cell_diameter = gmax
+            self.minimal_edge_length = gmin
+        elif self.is_mapped:
+            _, gmin, gmax = self.navier_stokes.cell_mapping.cell_diameters()
+            self.cell_diameter = gmax
+            self.minimal_edge_length = gmin
         else:
             self.cell_diameter = float(np.max(mesh.h))
             self.minimal_edge_length = float(np.min(mesh.h))
         self._p(
             "Mesh size (largest/smallest element length at finest level): "
-            f"{fmt_g(self.cell_diameter)} / {fmt_g(self.minimal_edge_length)}"
+            f"{self.cell_diameter:.6g} / {self.minimal_edge_length:.6g}"
         )
         self.epsilon_used = (
             par.epsilon / par.concentration_subdivisions * self.cell_diameter
@@ -243,7 +284,9 @@ class TwoPhaseBaseAlgorithm:
         """Geometry placeholder for values-only evaluations (values never
         touch the cell extents, so unit h serves any mesh type)."""
         return (
-            (1.0,) * self.mesh.dim if self.is_forest else self.mesh.h
+            (1.0,) * self.mesh.dim
+            if (self.is_forest or self.is_mapped)
+            else self.mesh.h
         )
 
     def get_maximal_velocity(self) -> float:
@@ -298,7 +341,7 @@ class TwoPhaseBaseAlgorithm:
         smeared heaviside/delta form (two_phase_base.cc:972-1091)."""
         if self.mesh.dim == 3:
             return self._compute_bubble_statistics_3d()
-        if self.is_forest:
+        if self.is_forest or self.is_mapped:
             return self._compute_bubble_statistics_forest(sub_refinements)
         par = self.parameters
         ns = self.navier_stokes
@@ -421,12 +464,25 @@ class TwoPhaseBaseAlgorithm:
         ) or par.velocity_degree + 3
 
         pts = equidistant_points(sub + 1)
-        ev_c = VariableCellEvaluator(
-            2, sp.basis, (pts, np.zeros_like(pts)), sp.h_cells
-        )
-        ev_u = VariableCellEvaluator(
-            2, usp.basis, (pts, np.zeros_like(pts)), sp.h_cells
-        )
+        if self.is_forest:
+            ev_c = VariableCellEvaluator(
+                2, sp.basis, (pts, np.zeros_like(pts)), sp.h_cells
+            )
+            ev_u = VariableCellEvaluator(
+                2, usp.basis, (pts, np.zeros_like(pts)), sp.h_cells
+            )
+            evg = VariableCellEvaluator(
+                2, usp.basis, par.velocity_degree, sp.h_cells
+            )
+            cell_area = np.prod(sp.h_cells, axis=1)
+        else:
+            from adaflo_tpu.ops.mapped import MappedEvaluator
+
+            mp = ns.cell_mapping
+            ev_c = MappedEvaluator(2, sp.basis, (pts, np.zeros_like(pts)), mp)
+            ev_u = MappedEvaluator(2, usp.basis, (pts, np.zeros_like(pts)), mp)
+            evg = MappedEvaluator(2, usp.basis, par.velocity_degree, mp)
+            cell_area = np.asarray(evg.jxw_cells).sum(axis=1)
         c = np.asarray(self.hanging_constraints_ls.distribute_values(self.solution[0]))
         u = np.asarray(ns.solution[0])
         c_vals = np.asarray(ev_c.values(jnp.asarray(c)[sp.cell_dofs]))
@@ -445,9 +501,6 @@ class TwoPhaseBaseAlgorithm:
         # interior cells: per-cell Gauss quadrature
         inside = (~crosses) & (c_dof_vals[:, 0] > 0)
         if inside.any():
-            evg = VariableCellEvaluator(
-                2, usp.basis, par.velocity_degree, sp.h_cells
-            )
             qg = evg.quad_coords(sp)[inside]
             ug = np.asarray(ev_values(evg, u, usp, inside))
             jxw = np.asarray(evg.jxw_cells)[inside]
@@ -462,7 +515,7 @@ class TwoPhaseBaseAlgorithm:
             cv = c_vals[idx].reshape(-1, n1, n1) + 1e-22
             uv = u_vals[idx].reshape(-1, 2, n1, n1)
             qq = qc[idx].reshape(-1, n1, n1, 2)
-            subcell_area = np.prod(sp.h_cells[idx], axis=1) / (sub * sub)
+            subcell_area = cell_area[idx] / (sub * sub)
             w4 = np.repeat(subcell_area / 4.0, sub * sub)  # per patch
 
             c00 = cv[:, :-1, :-1].reshape(-1)

@@ -22,6 +22,7 @@ from adaflo_tpu.ops.tensor import CellEvaluator
 
 VTK_VERTEX = 1
 VTK_LINE = 3
+VTK_TRIANGLE = 5
 VTK_QUAD = 9
 VTK_HEXAHEDRON = 12
 
@@ -70,6 +71,61 @@ def _field_at_patch_points(space: ScalarSpace, values: np.ndarray, n_sub: int):
     return np.asarray(ev.values(cells))  # (E, C, n_pts)
 
 
+def _write_vtu_simplex(filename, mesh, fields) -> None:
+    """Triangle meshes: one VTK_TRIANGLE per cell, fields at the vertices."""
+    verts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    E = mesh.n_cells
+    pts3 = np.zeros((3 * E, 3))
+    pts3[:, :2] = mesh.vertices[mesh.cells].reshape(-1, 2)
+    conn = np.arange(3 * E).reshape(E, 3)
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">',
+        "<UnstructuredGrid>",
+        f'<Piece NumberOfPoints="{3 * E}" NumberOfCells="{E}">',
+        "<Points>",
+        '<DataArray type="Float64" NumberOfComponents="3" format="ascii">',
+        "\n".join(" ".join("%.12g" % v for v in row) for row in pts3),
+        "</DataArray></Points>",
+        "<Cells>",
+        '<DataArray type="Int32" Name="connectivity" format="ascii">',
+        "\n".join(" ".join(str(v) for v in row) for row in conn),
+        "</DataArray>",
+        '<DataArray type="Int32" Name="offsets" format="ascii">',
+        " ".join(str(3 * (i + 1)) for i in range(E)),
+        "</DataArray>",
+        '<DataArray type="UInt8" Name="types" format="ascii">',
+        " ".join(str(VTK_TRIANGLE) for _ in range(E)),
+        "</DataArray></Cells>",
+        "<PointData>",
+    ]
+    for name, (space, values, ncomp) in fields.items():
+        V, _ = space.element.tabulate(verts)  # (3, n_loc)
+        values = np.asarray(values)
+        if values.ndim == 1:
+            vals = np.einsum("pi,ei->ep", V, values[space.cell_dofs])
+            data = vals.reshape(-1, 1)
+            lines.append(
+                f'<DataArray type="Float64" Name="{sx.escape(name)}" format="ascii">'
+            )
+        else:
+            cells = np.transpose(values[:, space.cell_dofs], (1, 0, 2))
+            vals = np.einsum("pi,eci->ecp", V, cells)  # (E, C, 3)
+            data = np.zeros((3 * E, 3))
+            data[:, :ncomp] = np.transpose(vals, (0, 2, 1)).reshape(-1, ncomp)
+            lines.append(
+                f'<DataArray type="Float64" Name="{sx.escape(name)}" '
+                'NumberOfComponents="3" format="ascii">'
+            )
+        lines.append(
+            "\n".join(" ".join("%.12g" % v for v in row) for row in np.atleast_2d(data))
+        )
+        lines.append("</DataArray>")
+    lines += ["</PointData>", "</Piece></UnstructuredGrid></VTKFile>"]
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    Path(filename).write_text("\n".join(lines))
+
+
 def write_vtu(
     filename: str,
     mesh,
@@ -77,6 +133,9 @@ def write_vtu(
     n_subdivisions: int = 1,
 ) -> None:
     """fields: name -> (space, dof values ((n,) or (C, n)), n_components)."""
+    if getattr(mesh, "is_simplex", False):
+        _write_vtu_simplex(filename, mesh, fields)
+        return
     dim = mesh.dim
     n_sub = max(n_subdivisions, 1)
     coords = _patch_points(mesh, n_sub)  # (E, P, dim)
