@@ -2,10 +2,11 @@
 
 Mirrors /root/reference/applications/periodic_channel.cc: channel
 [0, 2 pi] x [-1, 1] (x [0, 2 pi/3] in 3D) with periodic x (and z), no-slip
-walls, a constant streamwise body force (the mean pressure gradient) applied
-through user_rhs, and a quartic initial profile with a spanwise perturbation
-to trigger transition. The reference's wall-graded mesh transform awaits
-non-uniform spacing support; this version runs the uniform-mesh variant.
+walls, the wall-clustered grading y -> tanh(y)/tanh(1)
+(GridTools::transform, cc:242-246 — here a graded tensor mesh with per-cell
+Cartesian geometry on the lattice fast path), a constant streamwise body
+force (the mean pressure gradient) applied through user_rhs, and a quartic
+initial profile with a spanwise perturbation to trigger transition.
 """
 
 from __future__ import annotations
@@ -47,6 +48,11 @@ class PeriodicChannelProblem:
             (n,) * dim, bottom, top
         )
         self.mesh.refine_global(2)
+        # wall clustering (periodic_channel.cc:242-246): y in [-1, 1] is the
+        # second axis here already, so in = (y+1)/2 maps the reference form
+        self.mesh.apply_axis_transform(
+            1, lambda y: np.tanh(1.0 * y) / np.tanh(1.0)
+        )
         parameters.global_refinements = 0
         self.navier_stokes = NavierStokes(parameters, self.mesh, out=out)
 

@@ -87,6 +87,15 @@ class ScalarSpace:
         m = np.arange(n)
         cell = m // deg
         loc = m % deg
+        if getattr(mesh, "is_graded", False):
+            nodes = mesh.axis_nodes(a)
+            cell = np.minimum(cell, mesh.n_cells_axis[a] - 1)
+            widths = np.diff(nodes)
+            x = nodes[cell] + widths[cell] * self.basis.nodes[loc]
+            # the last lattice node of a non-periodic axis is the far end
+            if not mesh.periodic[a] and n == mesh.n_cells_axis[a] * deg + 1:
+                x[-1] = nodes[-1]
+            return x
         x = mesh.origin[a] + mesh.h[a] * (cell + self.basis.nodes[loc])
         return x
 

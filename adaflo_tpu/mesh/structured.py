@@ -74,8 +74,66 @@ class StructuredMesh:
 
     @property
     def h(self) -> np.ndarray:
-        """Uniform cell extent per axis."""
+        """Uniform cell extent per axis (graded meshes expose per-axis node
+        arrays instead — see axis_nodes/cell_widths)."""
+        assert not self.is_graded, (
+            "uniform h undefined on a graded mesh; use cell_widths()"
+        )
         return self.lengths / np.asarray(self.n_cells_axis, dtype=np.float64)
+
+    @property
+    def is_graded(self) -> bool:
+        return getattr(self, "_axis_nodes", None) is not None
+
+    def apply_axis_transform(self, axis: int, fn) -> None:
+        """Monotone coordinate map along one axis (GridTools::transform for
+        tensor-product gradings, e.g. the periodic channel's tanh wall
+        clustering, periodic_channel.cc:242-246). Apply after all
+        refinement."""
+        if getattr(self, "_axis_nodes", None) is None:
+            self._axis_nodes = [None] * self.dim
+        uniform = self.origin[axis] + (
+            self.lengths[axis]
+            / self.n_cells_axis[axis]
+            * np.arange(self.n_cells_axis[axis] + 1)
+        )
+        nodes = np.asarray([float(fn(x)) for x in uniform])
+        assert (np.diff(nodes) > 0).all(), "grading must be monotone"
+        self._axis_nodes[axis] = nodes
+
+    def axis_nodes(self, axis: int) -> np.ndarray:
+        """Cell-boundary coordinates along an axis (graded or uniform)."""
+        if self.is_graded and self._axis_nodes[axis] is not None:
+            return self._axis_nodes[axis]
+        return np.linspace(
+            self.origin[axis],
+            self.origin[axis] + self.lengths[axis],
+            self.n_cells_axis[axis] + 1,
+        )
+
+    def cell_widths(self) -> np.ndarray:
+        """(n_cells, dim) per-cell extents, cells lexicographic x fastest."""
+        per_axis = [np.diff(self.axis_nodes(a)) for a in range(self.dim)]
+        out = np.empty((self.n_cells, self.dim))
+        for a in range(self.dim):
+            shape = [1] * self.dim
+            shape[self.dim - 1 - a] = -1
+            out[:, a] = np.broadcast_to(
+                per_axis[a].reshape(shape), tuple(reversed(self.n_cells_axis))
+            ).reshape(-1)
+        return out
+
+    def cell_origins(self) -> np.ndarray:
+        """(n_cells, dim) lower-corner coordinates (lexicographic)."""
+        per_axis = [self.axis_nodes(a)[:-1] for a in range(self.dim)]
+        out = np.empty((self.n_cells, self.dim))
+        for a in range(self.dim):
+            shape = [1] * self.dim
+            shape[self.dim - 1 - a] = -1
+            out[:, a] = np.broadcast_to(
+                per_axis[a].reshape(shape), tuple(reversed(self.n_cells_axis))
+            ).reshape(-1)
+        return out
 
     @property
     def n_cells(self) -> int:
@@ -83,9 +141,14 @@ class StructuredMesh:
 
     @property
     def cell_diameter(self) -> float:
+        if self.is_graded:
+            return float(np.linalg.norm(self.cell_widths(), axis=1).min())
         return float(np.linalg.norm(self.h))
 
     def refine_global(self, times: int = 1) -> None:
+        if times <= 0:
+            return
+        assert not self.is_graded, "refine before applying axis gradings"
         for _ in range(times):
             self.n_cells_axis = tuple(2 * n for n in self.n_cells_axis)
             self._init_boundary_arrays()

@@ -119,6 +119,27 @@ class NavierStokesOperator:
 
             self.lat_u = IndexMapOps.for_space(u_space)
             self.lat_p = IndexMapOps.for_space(p_space)
+        elif getattr(mesh, "is_graded", False):
+            # graded tensor mesh (wall clustering): per-cell Cartesian
+            # geometry, but the strided-lattice gather/scatter still applies
+            from adaflo_tpu.ops.tensor import VariableCellEvaluator
+
+            if parameters.augmented_taylor_hood:
+                raise NotImplementedError(
+                    "augmented Taylor-Hood on graded meshes is not supported"
+                )
+            hc = mesh.cell_widths()
+            self.ev_u = VariableCellEvaluator(
+                self.dim, u_space.basis, deg_p + 2, hc, dtype
+            )
+            self.ev_p = VariableCellEvaluator(
+                self.dim, p_space.basis, deg_p + 2, hc, dtype
+            )
+            self.ev_p_low = VariableCellEvaluator(
+                self.dim, p_space.basis, deg_p + 1, hc, dtype
+            )
+            self.lat_u = LatticeOps.for_space(u_space)
+            self.lat_p = LatticeOps.for_space(p_space)
         else:
             self.ev_u = CellEvaluator(
                 self.dim, u_space.basis, deg_p + 2, mesh.h, dtype
@@ -167,6 +188,7 @@ class NavierStokesOperator:
         flag = os.environ.get("ADAFLO_PALLAS_MATVEC", "")
         eligible = (
             not self.is_forest
+            and not getattr(mesh, "is_graded", False)
             and self.dim == 3
             and parameters.velocity_degree == 2
             and not self.augmented

@@ -221,6 +221,13 @@ class NavierStokesPreconditioner:
             ) if parameters.pressure_degree >= 1 else None
             return
         mesh = op.u_space.mesh
+        if getattr(mesh, "is_graded", False):
+            # graded tensor meshes: the uniform-lattice GMG model does not
+            # apply; Chebyshev/Jacobi (+ inner-solve fallback) throughout
+            self.use_gmg = False
+            self.u_gmg_geom = None
+            self.p_gmg_geom = None
+            return
         self.u_gmg_geom = [
             LatticeGMG(
                 op.u_space.n_nodes_axis,

@@ -51,6 +51,11 @@ def _patch_points(mesh, n_sub: int) -> np.ndarray:
         from adaflo_tpu.fe.mapped_space import CellMapping
 
         return CellMapping(mesh, 3).map_points(_ref_lattice(pts, mesh.dim))
+    if getattr(mesh, "is_graded", False):  # graded tensor mesh
+        origins = mesh.cell_origins()
+        h = mesh.cell_widths()
+        ref = _ref_lattice(pts, mesh.dim)
+        return origins[:, None, :] + ref[None] * h[:, None, :]
     dummy_basis = ScalarSpace(mesh, 1).basis
     ev = CellEvaluator(mesh.dim, dummy_basis, (pts, np.zeros_like(pts)), mesh.h)
     return ev.quad_coords(mesh)

@@ -1,0 +1,124 @@
+"""Graded (wall-clustered) tensor meshes on the structured lattice path."""
+
+import io
+
+import numpy as np
+import pytest
+
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.mesh.structured import StructuredMesh
+
+
+def test_graded_geometry_and_node_coords():
+    mesh = StructuredMesh.subdivided_hyper_rectangle((4, 4), (0.0, -1.0), (2.0, 1.0))
+    mesh.apply_axis_transform(1, lambda y: np.tanh(y) / np.tanh(1.0))
+    assert mesh.is_graded
+    yn = mesh.axis_nodes(1)
+    assert abs(yn[0] + 1) < 1e-14 and abs(yn[-1] - 1) < 1e-14
+    # clustered towards the walls: first cell wider than... tanh clusters
+    # toward the CENTER derivative minimum at the walls -> wall cells wider?
+    # tanh'(1)=0.42 < tanh'(0)=1: wall cells are NARROWER in y after mapping
+    widths = np.diff(yn)
+    assert widths[0] < widths[len(widths) // 2]
+    # x stays uniform
+    assert np.allclose(np.diff(mesh.axis_nodes(0)), 0.5)
+    # node coords: boundary dofs at exactly y = +-1
+    sp = ScalarSpace(mesh, 2)
+    yc = sp.axis_node_coords(1)
+    assert abs(yc[0] + 1) < 1e-14 and abs(yc[-1] - 1) < 1e-14
+    assert (np.diff(yc) > 0).all()
+    # cell_widths consistent with axis nodes
+    cw = mesh.cell_widths()
+    assert np.allclose(cw[:, 0], 0.5)
+    assert np.allclose(np.unique(np.round(cw[:, 1], 12)),
+                       np.unique(np.round(widths, 12)))
+
+
+def test_graded_navier_stokes_exactness():
+    """Stationary NS on a graded channel mesh reproduces the quadratic
+    Poiseuille solution to solver tolerance (per-cell geometry + lattice
+    gather/scatter agree)."""
+    from adaflo_tpu.parameters import FlowParameters, PhysicalType
+    from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
+
+    par = FlowParameters()
+    par.dimension = 2
+    par.global_refinements = 0
+    par.velocity_degree = 2
+    par.viscosity = 0.5
+    par.physical_type = PhysicalType.incompressible_stationary
+    par.time_step_size_start = 0.1
+    par.end_time = 0.1
+    par.max_nl_iteration = 12
+    par.tol_nl_iteration = 1e-11
+    par.max_lin_iteration = 300
+    par.tol_lin_iteration = 1e-8
+    par.output_verbosity = 0
+
+    mesh = StructuredMesh.subdivided_hyper_rectangle(
+        (8, 4), (-2.0, -1.0), (2.0, 1.0)
+    )
+    mesh.apply_axis_transform(1, lambda y: np.tanh(1.2 * y) / np.tanh(1.2))
+
+    nu = par.viscosity
+
+    def exact_u(x, t=0.0):
+        v = np.zeros((2, len(x)))
+        v[0] = 0.5 / nu * (1 - x[:, 1]) * (1 + x[:, 1])
+        return v
+
+    ns = NavierStokes(par, mesh, out=io.StringIO())
+    ns.set_velocity_dirichlet_boundary(0, exact_u)
+    ns.fix_pressure_constant(0, lambda x, t: 2 - x[:, 0])
+    ns.setup_problem(exact_u)
+    ns.advance_time_step()
+    u = np.asarray(ns.solution[0])
+    ex = exact_u(ns.u_space.node_coords)
+    assert np.abs(u[0][: ns.u_space.n_dofs] - ex[0]).max() < 1e-8
+    assert np.abs(u[1][: ns.u_space.n_dofs]).max() < 1e-8
+    p = np.asarray(ns.solution[1])
+    pex = 2 - ns.p_space.node_coords[:, 0]
+    assert np.abs(p[: ns.p_space.n_dofs] - pex).max() < 1e-6
+
+
+def test_periodic_channel_graded_smoke():
+    """The periodic-channel application on the wall-clustered mesh: two
+    semi-implicit steps, no-slip exact at the graded walls."""
+    from adaflo_tpu.applications.periodic_channel import PeriodicChannelProblem
+    from adaflo_tpu.parameters import FlowParameters
+
+    par = FlowParameters.from_string(
+        """
+subsection Time stepping
+  set step size = 0.1
+  set end time  = 0.2
+end
+subsection Navier-Stokes
+  set physical type      = incompressible
+  set dimension          = 2
+  set global refinements = 8
+  set velocity degree    = 2
+  set viscosity          = 0.001472
+  subsection Solver
+    set linearization scheme         = coupled velocity semi-implicit
+    set NL max iterations            = 3
+    set NL tolerance                 = 1.e-4
+    set lin max iterations           = 50
+    set lin tolerance                = 1.e-5
+    set tau grad div                 = 1
+  end
+end
+subsection Output options
+  set output verbosity = 0
+  set output vtk files = 0
+end
+"""
+    )
+    prob = PeriodicChannelProblem(par, out=io.StringIO())
+    prob.run()
+    assert prob.mesh.is_graded
+    u = np.asarray(prob.navier_stokes.solution[0])
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 3.0
+    dofs = prob.navier_stokes.u_space.boundary_dofs(0)
+    assert np.abs(u[:, dofs]).max() == 0.0
