@@ -196,6 +196,10 @@ class NavierStokesOperator:
             == Linearization.coupled_implicit_newton
             and parameters.physical_type == PhysicalType.incompressible
             and flag != "0"
+            # below ~32k cells the (E, 89) transposes and kernel launches
+            # outweigh the fusion win (measured: 24^3 solve step ~5% slower,
+            # 48^3 mat-vec 2.6x faster); force with ADAFLO_PALLAS_MATVEC=1
+            and (mesh.n_cells >= 32768 or flag == "1")
         )
         if eligible:
             on_tpu = jax.default_backend() == "tpu"
@@ -576,8 +580,41 @@ class NavierStokesOperator:
     ):
         """(0,0)-block mat-vec (navier_stokes_matrix.cc:337-382)."""
         uc = self._gather_u(du, resolve=True)
-        r_u = self.local_velocity_apply(uc, tw, lin, coeffs)
-        ru = self._scatter_u(r_u)
+        use_pallas = (
+            self._pallas_tables is not None
+            and lin is not None
+            and getattr(lin, "dofs", None) is not None
+            and lin.grad is not None
+            and coeffs.rho is None
+            and coeffs.mu is None
+            and coeffs.damping is None
+        )
+        if use_pallas:
+            # same fused kernel as the coupled vmult with zero pressure
+            # input; the pressure output rows are discarded
+            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_cells
+
+            par = self.parameters
+            E = uc.shape[0]
+            zp = jnp.zeros((E, self.p_space.n_local), uc.dtype)
+            x_cells = jnp.concatenate([uc.reshape(E, -1), zp], axis=1)
+            lin_cells = jnp.concatenate([lin.dofs.reshape(E, -1), zp], axis=1)
+            scalars = (
+                tw.weight * par.density - par.damping,
+                tw.tau1 * par.density,
+                par.beta_convective_term_momentum_balance,
+                tw.tau1 * par.viscosity,
+                par.tau_grad_div,
+            )
+            out = coupled_vmult_cells(
+                x_cells, lin_cells, self._pallas_tables, scalars,
+                interpret=self._pallas_interpret,
+            )
+            n_u3 = 3 * self.u_space.n_local
+            ru = self._scatter_u(out[:, :n_u3].reshape(E, 3, -1))
+        else:
+            r_u = self.local_velocity_apply(uc, tw, lin, coeffs)
+            ru = self._scatter_u(r_u)
         for c in range(self.dim):
             ru = ru.at[c].set(self.constraints_u[c].set_identity(ru[c], du[c]))
         return ru

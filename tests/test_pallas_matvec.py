@@ -72,6 +72,11 @@ def test_pallas_coupled_vmult_matches_einsum(monkeypatch):
     assert float(jnp.abs(ru1 - ru2).max()) < 1e-12 * scale
     assert float(jnp.abs(rp1 - rp2).max()) < 1e-12 * scale
 
+    # velocity-block apply rides the same kernel (zero pressure input)
+    rv1 = op_pl.velocity_vmult(u, tw, lin)
+    rv2 = op_ref.velocity_vmult(u, tw, lin)
+    assert float(jnp.abs(rv1 - rv2).max()) < 1e-12 * scale
+
     # without linearization dofs the fast path must fall back (same result)
     lin_nodofs = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), None)
     ru3, _ = op_pl.vmult(u, p, tw, lin_nodofs)
