@@ -21,7 +21,7 @@ import numpy as np
 
 from adaflo_tpu.mesh.structured import StructuredMesh
 from adaflo_tpu.parameters import FlowParameters
-from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes, fmt_g
+from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
 from adaflo_tpu.utils.errors import (
     cell_divergence_norm,
     interpolate,

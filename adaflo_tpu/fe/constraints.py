@@ -19,7 +19,7 @@ Semantics mirror deal.II matrix-free exactly:
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 

@@ -14,7 +14,7 @@ are separate (see adaflo_tpu.fe.constraints).
 from __future__ import annotations
 
 from functools import cached_property
-from typing import Dict, List, Tuple
+from typing import List
 
 import numpy as np
 

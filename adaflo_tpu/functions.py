@@ -11,7 +11,7 @@ accepted everywhere; these classes only add conveniences.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import numpy as np
 

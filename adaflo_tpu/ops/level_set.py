@@ -23,7 +23,7 @@ projection matrix + ILU with matrix-free CG + Chebyshev/Jacobi.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ arguments so one compiled kernel serves the whole run.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

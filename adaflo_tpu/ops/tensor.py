@@ -15,8 +15,7 @@ Per-cell h (mixed-level AMR meshes) broadcasts through the same code path.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

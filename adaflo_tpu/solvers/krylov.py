@@ -17,7 +17,6 @@ max_iter is hit.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

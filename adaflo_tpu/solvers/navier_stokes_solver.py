@@ -16,7 +16,6 @@ BDF weights are traced arguments, so kernels compile once per run).
 from __future__ import annotations
 
 import sys
-from functools import partial
 from typing import Optional
 
 import jax

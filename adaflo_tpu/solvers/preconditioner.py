@@ -19,7 +19,7 @@ NamedTuple of arrays so the whole preconditioner application jits.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

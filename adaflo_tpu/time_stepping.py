@@ -13,7 +13,6 @@ jitted device kernels as scalars.
 
 from __future__ import annotations
 
-import math
 
 from adaflo_tpu.parameters import Scheme as TimeSteppingScheme
 from adaflo_tpu.parameters import TimeSteppingParameters

@@ -16,7 +16,6 @@ every solve is one jitted XLA program.
 from __future__ import annotations
 
 import sys
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ pressure basis (phase_field_local.cc:49-131).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ level-set and Navier-Stokes solves are the jitted device pipelines.
 
 from __future__ import annotations
 
-import sys
 from typing import Optional
 
 import jax
@@ -35,7 +34,7 @@ from adaflo_tpu.fe.space import ScalarSpace
 from adaflo_tpu.ops.level_set import LevelSetOperators
 from adaflo_tpu.ops.navier_stokes import Coefficients, TimeWeights
 from adaflo_tpu.parameters import FlowParameters, Scheme
-from adaflo_tpu.solvers.krylov import bicgstab, cg, gmres
+from adaflo_tpu.solvers.krylov import bicgstab, cg
 from adaflo_tpu.solvers.preconditioner import (
     ChebyshevPreconditioner,
     DiagonalPreconditioner,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import xml.sax.saxutils as sx
 from pathlib import Path
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
