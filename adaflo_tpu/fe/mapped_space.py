@@ -115,9 +115,16 @@ class CellMapping:
         J, _ = self.jacobians(probes)  # (E, 5, 2, 2)
         tr = J[..., 0, 0] + J[..., 1, 1]
         det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
-        disc = np.sqrt(np.maximum(tr * tr / 4.0 - det, 0.0))
+        disc2 = tr * tr / 4.0 - det
+        disc = np.sqrt(np.maximum(disc2, 0.0))
         lam1 = np.abs(tr / 2.0 + disc)
         lam2 = np.abs(tr / 2.0 - disc)
+        # complex eigenvalue pair (strongly sheared cell): |lambda| = sqrt(det)
+        # for both — mirror simplex_cell_diameters' handling
+        cplx = disc2 < 0.0
+        lam_c = np.sqrt(np.abs(det))
+        lam1 = np.where(cplx, lam_c, lam1)
+        lam2 = np.where(cplx, lam_c, lam2)
         per_cell_max = np.maximum(lam1, lam2).max(axis=1)  # (E,)
         gmin = float(np.minimum(lam1, lam2).min())
         gmax = float(per_cell_max.max())

@@ -80,6 +80,10 @@ class QuadMesh:
         self._edge_boundary_id: Dict[Tuple[int, int], int] = {}
         self._edge_manifold_id: Dict[Tuple[int, int], int] = {}
         self.periodic = [False, False]
+        # pre-refinement snapshots (coarse-to-fine): each _refine_once
+        # appends the mesh state it refined, giving the geometric hierarchy
+        # for mapped-mesh multigrid (children of cell e are 4e..4e+3)
+        self.history: List["QuadMesh"] = []
         self._rebuild_edges()
 
     # -- topology -----------------------------------------------------------
@@ -190,7 +194,16 @@ class QuadMesh:
         for _ in range(times):
             self._refine_once()
 
+    def _snapshot(self) -> "QuadMesh":
+        snap = QuadMesh(self.vertices.copy(), self.cells.copy())
+        snap.manifolds = self.manifolds  # shared (geometry objects)
+        snap._edge_boundary_id = dict(self._edge_boundary_id)
+        snap._edge_manifold_id = dict(self._edge_manifold_id)
+        snap._rebuild_edges()
+        return snap
+
     def _refine_once(self) -> None:
+        self.history.append(self._snapshot())
         verts = list(self.vertices)
         new_of_edge: Dict[Tuple[int, int], int] = {}
 
@@ -304,17 +317,34 @@ class QuadMesh:
         cells = np.concatenate(
             [m.cells + offs[i] for i, m in enumerate(meshes)], axis=0
         )
-        # dedupe by rounded coordinates
-        key = np.round(verts / tol).astype(np.int64)
-        _, first, inverse = np.unique(
-            key, axis=0, return_index=True, return_inverse=True
-        )
-        # keep first occurrence order for reproducibility
-        order = np.argsort(first)
-        rank = np.empty_like(order)
-        rank[order] = np.arange(len(order))
-        new_verts = verts[np.sort(first)]
-        new_cells = rank[inverse][cells]
+        # dedupe with a true distance test: bucket by floor(v/tol) and search
+        # the 3^dim neighboring buckets, so coincident vertices straddling a
+        # rounding boundary still merge (first-occurrence order preserved)
+        dim = verts.shape[1]
+        key = np.floor(verts / tol).astype(np.int64)
+        offsets = np.stack(
+            np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij"), axis=-1
+        ).reshape(-1, dim)
+        buckets: dict = {}  # bucket key -> list of representative indices
+        rep_of = np.empty(len(verts), dtype=np.int64)
+        rep_ids: List[int] = []
+        for i in range(len(verts)):
+            k = key[i]
+            found = -1
+            for off in offsets:
+                for j in buckets.get(tuple(k + off), ()):
+                    if np.abs(verts[rep_ids[j]] - verts[i]).max() <= tol:
+                        found = j
+                        break
+                if found >= 0:
+                    break
+            if found < 0:
+                found = len(rep_ids)
+                rep_ids.append(i)
+                buckets.setdefault(tuple(k), []).append(found)
+            rep_of[i] = found
+        new_verts = verts[np.asarray(rep_ids)]
+        new_cells = rep_of[cells]
         return cls(new_verts, new_cells)
 
     def removed_cells(self, predicate: Callable[[np.ndarray], bool]) -> "QuadMesh":

@@ -754,14 +754,19 @@ class NavierStokesOperator:
         self, p, coefficient, coeffs: Coefficients = Coefficients(),
         constraints: Optional[Constraints] = None,
     ):
-        """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071)."""
+        """(q, c p) with c = 1/(mu + tau_gd) or 1 (cc:1036-1071). `coefficient`
+        is a scalar or a per-cell (E,) array (the reference reads the
+        cell-center viscosity per cell, nsm.cc:1050-1056)."""
         con = constraints if constraints is not None else self.constraints_p
         ev = self.ev_p_low
         pq, pcst = self._split_p(p)
         val = ev.values(self.lat_p.gather(con.resolve(pq)))
         if pcst is not None:
             val = val + pcst[:, None]
-        val = val * coefficient
+        coefficient = jnp.asarray(coefficient)
+        val = val * (
+            coefficient if coefficient.ndim == 0 else coefficient[:, None]
+        )
         rq = con.condense(self.lat_p.scatter_add(ev.integrate_values(val)))
         if pcst is not None:
             rc = val @ ev.jxw
@@ -786,18 +791,27 @@ class NavierStokesOperator:
     def _scatter_p_con(self, r_cells, con: Constraints):
         return con.condense(self.lat_p.scatter_add(r_cells))
 
-    def pressure_poisson_diagonal(self, inv_rho_weight, constraints=None):
+    def pressure_poisson_diagonal(
+        self, inv_rho_weight, constraints=None, coeffs: Coefficients = Coefficients()
+    ):
         """Exact diagonal of the pressure Poisson operator (unit-vector
-        trick), for Jacobi/Chebyshev smoothing."""
+        trick), for Jacobi/Chebyshev smoothing. With variable density the
+        per-q 1/rho enters like in pressure_poisson_vmult (then
+        inv_rho_weight is the 1/weight factor)."""
         con = constraints if constraints is not None else self.constraints_p
-        ev = self.ev_p_low
+        ev = self.ev_p_low if coeffs.rho is None else self.ev_p
         E = self.u_space.mesh.n_cells
         n_loc = self.p_space.n_local
         units = jnp.eye(n_loc)
 
         def apply_unit(unit):
             pc = jnp.broadcast_to(unit[None], (E, n_loc))
-            return ev.integrate_gradients(ev.gradients(pc) * inv_rho_weight)
+            g = ev.gradients(pc)
+            if coeffs.rho is not None:
+                g = g * (inv_rho_weight / coeffs.rho)[:, None, :]
+            else:
+                g = g * inv_rho_weight
+            return ev.integrate_gradients(g)
 
         out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
         idx = jnp.arange(n_loc)
@@ -809,17 +823,28 @@ class NavierStokesOperator:
             d = d.at[con.constrained_dofs].set(1.0)
         return d
 
-    def pressure_lumped_mass(self):
+    def pressure_lumped_mass(self, coefficient=None):
         """Lumped pressure mass diagonal (for the diagonal preconditioner of
         the mass solves, diagonal_preconditioner.cc); includes the DG0 cell
-        volumes for augmented TH."""
+        volumes for augmented TH. `coefficient`: optional per-cell (E,)
+        weight (the variable-viscosity 1/(mu+tau) of the scaled mass)."""
         E = self.u_space.mesh.n_cells
         ones = jnp.ones((E, self.ev_p_low.n_q))
+        if coefficient is not None:
+            coefficient = jnp.asarray(coefficient)
+            ones = ones * (
+                coefficient
+                if coefficient.ndim == 0
+                else coefficient[:, None]
+            )
         lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
         if not self.augmented:
             return lumped
         vol = float(np.prod(self.u_space.mesh.h))
-        return self._join_p(lumped, jnp.full(E, vol))
+        cvol = jnp.full(E, vol)
+        if coefficient is not None:
+            cvol = cvol * coefficient
+        return self._join_p(lumped, cvol)
 
     def dg0_diagonal(self):
         """Diagonal of the DG0 interior-penalty graph Laplacian."""

@@ -160,7 +160,8 @@ def coupled_vmult_cells(
 
     x_cells, lin_cells: (E, 89) = [u0 u1 u2 (27 each), p (8)] per cell; the
     linearization rows carry zero pressure. scalars: (rho_w, tau1_rho, beta,
-    mut, tgd, damping). Returns (E, 89)."""
+    mut, tgd) — exactly 5; damping is folded into rho_w by the callers.
+    Returns (E, 89)."""
     E, n_cols = x_cells.shape
     dtype = x_cells.dtype
     E_pad = -(-E // block) * block

@@ -31,11 +31,22 @@ def _put(x, sharding):
     return jax.device_put(x, sharding)
 
 
-def shard_solver_state(ns, mesh: Mesh, axis_name: str = "cells") -> None:
+def shard_solver_state(
+    ns, mesh: Mesh, axis_name: str = "cells", explicit_halo: bool = True
+) -> None:
     """Shard a NavierStokes solver's state and operator index maps over the
     device mesh in place. Dof vectors shard on their last axis; cell-local
     index maps shard on the cell axis, which makes XLA partition all cell
-    kernels by cells."""
+    kernels by cells.
+
+    With explicit_halo (default), the cell-loop gather/scatter is replaced
+    by the precomputed shard_map halo pipeline (parallel/halo.py HaloOps):
+    ghost values move in static ppermute ring shifts and ghost contributions
+    compress back to their owners — the deliberate ICI analog of the
+    reference's update_ghost_values()/compress() pairs
+    (navier_stokes.cc:1255-1317) — instead of whatever collectives GSPMD
+    infers. Any cell count shards on any device count (pad cells enter as
+    zero rows)."""
     vec_p = NamedSharding(mesh, P(axis_name))
     vec_u = NamedSharding(mesh, P(None, axis_name))
     cells = NamedSharding(mesh, P(axis_name, None))
@@ -54,17 +65,34 @@ def shard_solver_state(ns, mesh: Mesh, axis_name: str = "cells") -> None:
         blocks[1] = _put(blocks[1], vec_p)
 
     op = ns.operator
-    op.cd_u = _put(op.cd_u, cells)
-    op.cd_p = _put(op.cd_p, cells)
+    n_dev = mesh.devices.size
+    if op.cd_u.shape[0] % n_dev == 0:
+        op.cd_u = _put(op.cd_u, cells)
+        op.cd_p = _put(op.cd_p, cells)
+    # else: leave the per-cell geometry to GSPMD's uneven auto-partition
     if op.pressure_fix_mode is not None:
         mode, weights, inv = op.pressure_fix_mode
         op.pressure_fix_mode = (_put(mode, vec_p), _put(weights, vec_p), inv)
 
-    # adaptive-forest operators gather through explicit index maps; the
-    # cell axis shards directly, which requires n_cells % n_devices == 0
-    # (cell-count padding with zero-JxW ghost cells is the round-3 lift)
     from adaflo_tpu.ops.lattice import IndexMapOps
 
-    if isinstance(op.lat_u, IndexMapOps):
+    periodic = any(getattr(ns.mesh, "periodic", [False]))
+    if explicit_halo and not periodic:
+        # explicit shard_map halo pipeline for the cell loops of both spaces
+        # (the LatticeOps fast path and the forest index maps alike; the
+        # periodic wrap stays on the GSPMD path for now)
+        from adaflo_tpu.parallel.halo import HaloOps
+
+        for name, space in (("lat_u", ns.u_space), ("lat_p", ns.p_space)):
+            lat = getattr(op, name)
+            cd = (
+                np.asarray(lat.cd)
+                if isinstance(lat, IndexMapOps)
+                else np.asarray(space.cell_dofs)
+            )
+            setattr(
+                op, name, HaloOps(cd, lat.n_dofs_padded, mesh, axis_name)
+            )
+    elif isinstance(op.lat_u, IndexMapOps):
         op.lat_u.cd = _put(op.lat_u.cd, cells)
         op.lat_p.cd = _put(op.lat_p.cd, cells)

@@ -112,13 +112,13 @@ def bicgstab(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None):
     res0 = _norm(r)
 
     def cond(state):
-        _, _, _, _, _, _, res, k, breakdown = state
+        _, _, _, _, _, _, _, res, k, breakdown = state
         return (res > tol) & (k < max_iter) & (~breakdown)
 
     def body(state):
-        x, r, p, v, rho, omega, _, k, _ = state
+        x, r, p, v, rho, omega, alpha, _, k, _ = state
         rho_new = _dot(r0, r)
-        beta = (rho_new / rho) * (jnp.float64(1.0) / omega)
+        beta = (rho_new / rho) * (alpha / omega)
         p = _axpy(beta, _axpy(-omega, v, p), r)
         y = M(p)
         v = A(y)
@@ -138,7 +138,7 @@ def bicgstab(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None):
             | (jnp.abs(r0v) < 1e-300)
             | (jnp.abs(tt) < 1e-300)
         )
-        return (x, r, p, v, rho_new, omega_new, res, k + 1, breakdown)
+        return (x, r, p, v, rho_new, omega_new, alpha, res, k + 1, breakdown)
 
     one = jnp.float64(1.0)
     init = (
@@ -148,11 +148,14 @@ def bicgstab(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None):
         _zeros_like(b),
         one,
         one,
+        one,
         res0,
         jnp.int32(0),
         jnp.bool_(False),
     )
-    x, r, p, v, rho, omega, res, k, breakdown = lax.while_loop(cond, body, init)
+    x, r, p, v, rho, omega, alpha, res, k, breakdown = lax.while_loop(
+        cond, body, init
+    )
     return SolverResult(x, k, res, res <= tol)
 
 

@@ -1,0 +1,126 @@
+"""Geometric multigrid on unstructured curved-quad (mapped) meshes.
+
+The mapped-mesh counterpart of solvers/forest_multigrid.py, replacing the
+reference's ML-AMG for its unstructured configurations
+(navier_stokes_preconditioner.cc:465-562 'amg'/'amg linear' on merged/
+refined triangulations, e.g. flow_past_cylinder, micro_particle): the
+QuadMesh records a pre-refinement snapshot on every refine_global pass
+(mesh/unstructured.py QuadMesh.history), so the coarse levels are the
+actual coarser curved meshes — each carrying the same manifold geometry —
+and parent-child structure is by construction (children of coarse cell e
+are the fine cells 4e..4e+3 in fixed quadrant order).
+
+Transfers are exact nodal interpolation through the reference-coordinate
+embedding: a fine node with local lattice fraction xi in child c of parent
+P sits at (offset_c + xi)/2 in the parent's reference square, so its
+interpolation weights are the coarse tensor basis tabulated there — no
+point location, no geometry evaluation.
+
+Smoothing/V-cycle/compute are inherited from ForestGMG (meshes are
+conforming, so the per-level constraints carry Dirichlet rows only).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.mapped_space import CellMapping, MappedSpace
+from adaflo_tpu.mesh.unstructured import QuadMesh
+from adaflo_tpu.ops.mapped import MappedEvaluator
+from adaflo_tpu.solvers.forest_multigrid import ForestGMG, _FLevel
+
+# child c of a refined quad covers (offset_c + [0,1]^2)/2 of the parent's
+# reference square (QuadMesh._refine_once children order)
+_CHILD_OFFSET = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+
+
+def _mapped_transfer_maps(coarse: MappedSpace, fine: MappedSpace):
+    """(masters, weights): nodal interpolation of fine dofs from coarse
+    cells through the parent-child reference embedding."""
+    k = fine.degree
+    n1 = k + 1
+    # owner (cell, local) of each fine dof: first occurrence
+    E_f = fine.n_cells
+    flat_cells = np.repeat(np.arange(E_f), n1 * n1)
+    flat_local = np.tile(np.arange(n1 * n1), E_f)
+    flat_dofs = fine.cell_dofs.reshape(-1)
+    owner_cell = np.zeros(fine.n_dofs, dtype=np.int64)
+    owner_local = np.zeros(fine.n_dofs, dtype=np.int64)
+    owner_cell[flat_dofs[::-1]] = flat_cells[::-1]
+    owner_local[flat_dofs[::-1]] = flat_local[::-1]
+
+    f = fine.basis.nodes  # lattice fractions
+    ix = owner_local % n1
+    iy = owner_local // n1
+    xi = np.stack([f[ix], f[iy]], axis=1)  # (n_dofs, 2) in the child
+    parent = owner_cell // 4
+    child = owner_cell % 4
+    xi_p = (_CHILD_OFFSET[child] + xi) / 2.0  # in the parent
+
+    Wx = coarse.basis.tabulate(xi_p[:, 0])[0]  # (n, n1_c)
+    Wy = coarse.basis.tabulate(xi_p[:, 1])[0]
+    wloc = np.einsum("nj,ni->nji", Wy, Wx).reshape(fine.n_dofs, -1)
+    masters = coarse.cell_dofs[parent]  # (n, n_loc_c)
+    return jnp.asarray(masters), jnp.asarray(wloc)
+
+
+class MappedGMG(ForestGMG):
+    """V-cycle preconditioner for alpha M + beta K on a mapped Q_k space.
+
+    dirichlet_bids: boundary ids whose dofs act as identity rows (the
+    fully-constrained sides of the component being preconditioned)."""
+
+    def __init__(
+        self,
+        space: MappedSpace,
+        dirichlet_bids: Sequence[int],
+        n_dofs_padded: int,
+        pin_position: Optional[np.ndarray] = None,
+        smoother_degree: int = 3,
+        min_coarse_nodes: int = 700,
+        max_coarse_dense: int = 4096,
+        mapping_degree: int = 3,
+    ) -> None:
+        self.dim = space.dim
+        self.n_dofs_padded = n_dofs_padded
+        self.smoother_degree = smoother_degree
+
+        def level_mask(sp: MappedSpace) -> np.ndarray:
+            dofs = [np.empty(0, dtype=np.int64)]
+            for bid in dirichlet_bids:
+                dofs.append(sp.boundary_dofs(bid))
+            if pin_position is not None:
+                d = np.linalg.norm(sp.node_coords - pin_position, axis=1)
+                dofs.append(np.array([int(np.argmin(d))], dtype=np.int64))
+            return np.unique(np.concatenate(dofs))
+
+        def make_level(sp: MappedSpace) -> _FLevel:
+            mask = level_mask(sp)
+            con = Constraints(sp.n_dofs)
+            con.add_dirichlet(mask)
+            con.close()
+            ev = MappedEvaluator(sp.dim, sp.basis, sp.degree + 1, sp.mapping)
+            return _FLevel(sp, con, ev, jnp.asarray(sp.cell_dofs), mask)
+
+        levels: List[_FLevel] = [make_level(space)]
+        meshes: List[QuadMesh] = list(reversed(space.mesh.history))
+        sp = space
+        for cmesh in meshes:
+            if sp.n_dofs <= min_coarse_nodes:
+                break
+            cmap = CellMapping(cmesh, degree=mapping_degree)
+            csp = MappedSpace(cmesh, space.degree, cmap)
+            lev = levels[-1]
+            lev.t_masters, lev.t_weights = _mapped_transfer_maps(csp, sp)
+            lev.cell_parent = jnp.asarray(
+                np.arange(sp.n_cells, dtype=np.int64) // 4
+            )
+            levels.append(make_level(csp))
+            sp = csp
+        self.levels = levels
+        self.coarse_n = levels[-1].space.n_dofs
+        self.direct_coarse = self.coarse_n <= max_coarse_dense

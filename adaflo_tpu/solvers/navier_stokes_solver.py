@@ -564,8 +564,77 @@ class NavierStokes(FlowBaseAlgorithm):
             self.parameters.output_memory
             and self.time_stepping.step_no() % 10 == 1
         ):
+            self.measure_kernel_statistics()
             self.statistics.print_block(self.out or sys.stdout)
         return result
+
+    def measure_kernel_statistics(self, reps: int = 3) -> dict:
+        """Per-kernel wall-time counters (get_matvec_statistics +  the
+        preconditioner's 5-slot timers, navier_stokes_matrix.cc:1194-1206,
+        ns_prec.h:127-145). Jitted solver loops hide individual applies, so
+        the compiled kernels are timed directly on the CURRENT state
+        (block_until_ready, best of `reps`) and scaled by the recorded
+        Krylov mat-vec counts — the TPU-native analog of the reference's
+        accumulated timers. Feeds the '-- Statistics --' block."""
+        import time as _time
+
+        import jax as _jax
+
+        if self._prec_state is None:
+            self.build_preconditioner()
+        op = self.operator
+        st = self._prec_state
+        tw = TimeWeights.from_time_stepping(self.time_stepping)
+        lin = self._last_lin
+        u = self.solution[0]
+        p = self.solution[1]
+        zp = jnp.zeros_like(p)
+        prec = self.preconditioner
+        u_robust = getattr(self, "_u_robust", False)
+
+        kernels = {
+            "mat-vec": _jax.jit(
+                lambda u, p: op.vmult(u, p, tw, lin, st.coeffs)
+            ),
+            "velocity": _jax.jit(
+                lambda u, p: op.velocity_vmult(u, tw, lin, st.coeffs)
+            ),
+            "div matrix": _jax.jit(
+                lambda u, p: op.divergence_vmult_add(zp, u, coeffs=st.coeffs)
+            ),
+            "pres mass": _jax.jit(
+                lambda u, p: op.pressure_mass_vmult(p, st.mass_coefficient)
+            ),
+            "pres Poiss": _jax.jit(
+                lambda u, p: op.pressure_poisson_vmult(
+                    p,
+                    jnp.where(st.inv_rho_weight > 0, st.inv_rho_weight, 1.0),
+                    Coefficients(),
+                    self.constraints_schur,
+                )
+            ),
+            "full prec": _jax.jit(
+                lambda u, p: prec.apply(st, (u, p), tw, False, u_robust)
+            ),
+        }
+        calls = max(self.statistics.counters["mat-vec"][0], 1)
+        measured = {}
+        for name, fn in kernels.items():
+            try:
+                out = fn(u, p)  # compile
+                _jax.block_until_ready(out)
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = _time.perf_counter()
+                    _jax.block_until_ready(fn(u, p))
+                    best = min(best, _time.perf_counter() - t0)
+                measured[name] = best
+                rec = self.statistics.counters[name]
+                rec[0] = calls
+                rec[1] = best * calls
+            except Exception:
+                continue
+        return measured
 
     def evaluate_time_step(self):
         initial_residual = self.compute_initial_residual()

@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from adaflo_tpu.ops.navier_stokes import Coefficients, NavierStokesOperator, TimeWeights
@@ -138,9 +139,10 @@ class PrecState(NamedTuple):
     u_lambda_max: jnp.ndarray
     poisson_diag: jnp.ndarray  # (n_p,)
     poisson_lambda_max: jnp.ndarray
-    mass_diag: jnp.ndarray  # (n_p,) lumped pressure mass
+    mass_diag: jnp.ndarray  # (n_p,) lumped pressure mass (unweighted)
+    mass_diag_w: jnp.ndarray  # (n_p,) lumped mass weighted by mass_coefficient
     inv_rho_weight: jnp.ndarray  # 1/(time weight * rho_min) or 1 (stationary)
-    mass_coefficient: jnp.ndarray  # 1/(mu + tau_gd) or 1
+    mass_coefficient: jnp.ndarray  # 1/(mu + tau_gd): scalar or per-cell (E,)
     lin: object  # frozen Linearized state
     coeffs: Coefficients
     u_gmg: object = None  # tuple of per-component GMGState, or None
@@ -177,13 +179,64 @@ class NavierStokesPreconditioner:
             VelocityPreconditioner.u_amg_linear,
         )
         if getattr(op.u_space, "is_mapped", False):
-            # unstructured/curved meshes: no geometric hierarchy yet —
-            # Chebyshev/Jacobi approximate inverses throughout (the 'ilu*'
-            # analog; flow_past_cylinder runs 'ilu scalar' in the reference
-            # too, tests/flow_past_cylinder.prm)
-            self.use_gmg = False
-            self.u_gmg_geom = None
-            self.p_gmg_geom = None
+            # unstructured/curved meshes: geometric multigrid on the
+            # snapshot hierarchy the refinement recorded (the counterpart of
+            # the reference's ML-AMG on merged/refined triangulations,
+            # ns_prec.cc:465-562). Falls back to Chebyshev/Jacobi when the
+            # mesh has no refinement history (coarse-only runs).
+            from adaflo_tpu.solvers.mapped_multigrid import MappedGMG
+
+            u_space = op.u_space
+            # QuadMesh records refinement snapshots; simplex (TriMesh) and
+            # snapshot-less meshes have no hierarchy -> Chebyshev/Jacobi
+            if not getattr(u_space.mesh, "history", None):
+                self.use_gmg = False
+            if self.use_gmg:
+                dim = op.dim
+                bids = sorted(u_space.mesh.all_boundary_ids())
+                u_bids = []
+                for c in range(dim):
+                    full = []
+                    for bid in bids:
+                        dofs = u_space.boundary_dofs(bid)
+                        if len(dofs) and op.constraints_u[c].is_constrained[
+                            dofs
+                        ].all():
+                            full.append(bid)
+                    u_bids.append(full)
+                self.u_gmg_geom = [
+                    MappedGMG(u_space, u_bids[c], u_space.n_dofs_padded)
+                    for c in range(dim)
+                ]
+                # Schur-complement identity rows: open-boundary sides (all
+                # p-dofs constrained) as level Dirichlet bids; a pressure-fix
+                # point becomes a per-level pin (ns_prec.cc:1087-1186)
+                p_bids = []
+                covered = np.zeros(op.p_space.n_dofs, dtype=bool)
+                for bid in bids:
+                    dofs = op.p_space.boundary_dofs(bid)
+                    if len(dofs) and constraints_schur.is_constrained[
+                        dofs
+                    ].all():
+                        p_bids.append(bid)
+                        covered[dofs] = True
+                pin = None
+                rem = [
+                    d
+                    for d in constraints_schur.dirichlet_dofs
+                    if not covered[d]
+                ]
+                if rem:
+                    pin = op.p_space.node_coords[int(rem[0])]
+                self.p_gmg_geom = MappedGMG(
+                    op.p_space,
+                    p_bids,
+                    op.p_space.n_dofs_padded,
+                    pin_position=pin,
+                ) if parameters.pressure_degree >= 1 else None
+            else:
+                self.u_gmg_geom = None
+                self.p_gmg_geom = None
             return
         if getattr(op.u_space, "is_forest", False):
             # adaptive forests: global-coarsening GMG on the forest level
@@ -270,6 +323,12 @@ class NavierStokesPreconditioner:
             jnp.sum(e2 * e2) / jnp.maximum(jnp.sum(e1 * e1), 1e-300)
         )
 
+        # variable-coefficient Schur pieces (the reference's
+        # use_variable_coefficients branches): per-q 1/rho in the pressure
+        # Poisson (nsm.cc:976-997) and per-cell 1/(mu+tau) in the scaled
+        # pressure mass (nsm.cc:1050-1061) — NOT in the projection scheme
+        # or the stationary case
+        variable_schur = self._variable_schur
         if par.physical_type == PhysicalType.incompressible_stationary:
             inv_rho_weight = jnp.float64(1.0)
             mass_coefficient = jnp.float64(1.0)
@@ -281,33 +340,45 @@ class NavierStokesPreconditioner:
                 inv_rho_weight = jnp.float64(0.0)
             if par.linearization == Linearization.projection:
                 mass_coefficient = jnp.float64(1.0)
+            elif coeffs.mu is not None:
+                mu_cell = coeffs.mu[:, coeffs.mu.shape[1] // 2]
+                mass_coefficient = 1.0 / (mu_cell + par.tau_grad_div)
             else:
                 mass_coefficient = jnp.float64(
                     1.0 / (par.viscosity + par.tau_grad_div)
                 )
 
-        pdiag_scale = jnp.where(inv_rho_weight > 0, inv_rho_weight, 1.0)
+        pscale, pcoeffs = self._poisson_scale_coeffs(
+            jnp.float64(inv_rho_weight), coeffs if variable_schur else Coefficients()
+        )
         poisson_diag = op.pressure_poisson_diagonal(
-            pdiag_scale, self.constraints_schur
+            pscale, self.constraints_schur, pcoeffs
         )
         pA = lambda p: op.pressure_poisson_vmult(
-            p, pdiag_scale, coeffs, self.constraints_schur
+            p, pscale, pcoeffs, self.constraints_schur
         )
         p_dinv = DiagonalPreconditioner(poisson_diag).inverse
         p_lmax = estimate_lambda_max(pA, p_dinv, poisson_diag)
         mass_diag = op.pressure_lumped_mass()
+        if jnp.asarray(mass_coefficient).ndim == 0:
+            mass_diag_w = mass_diag * mass_coefficient
+        else:
+            mass_diag_w = op.pressure_lumped_mass(mass_coefficient)
 
         u_gmg = p_gmg = None
-        if self.use_gmg:
+        # lattice GMG smooths on Q1 subcells (upsample per-cell arrays);
+        # forest/mapped GMG levels keep the mesh cells, so per-cell
+        # coefficients pass through directly
+        per_cell_levels = getattr(op.u_space, "is_forest", False) or getattr(
+            op.u_space, "is_mapped", False
+        )
+        if self.use_gmg and self.u_gmg_geom is not None:
             deg = par.velocity_degree
-            is_forest = getattr(op.u_space, "is_forest", False)
             if coeffs.rho is not None:
                 rho_cell = jnp.mean(coeffs.rho, axis=1)
-                # lattice GMG smooths on Q1 subcells; forest GMG levels keep
-                # the forest cells, so per-cell coefficients pass through
                 alpha_u = tw.weight * (
                     rho_cell
-                    if is_forest
+                    if per_cell_levels
                     else _cells_to_subcells(
                         rho_cell, op.u_space.mesh.n_cells_axis, deg
                     )
@@ -320,7 +391,7 @@ class NavierStokesPreconditioner:
                 mu_cell = jnp.mean(coeffs.mu, axis=1)
                 beta_u = tw.tau1 * (
                     mu_cell
-                    if is_forest
+                    if per_cell_levels
                     else _cells_to_subcells(
                         mu_cell, op.u_space.mesh.n_cells_axis, deg
                     )
@@ -332,7 +403,21 @@ class NavierStokesPreconditioner:
                 for c in range(op.dim)
             )
         if self.p_gmg_geom is not None:
-            p_gmg = self.p_gmg_geom.compute(jnp.float64(0.0), pdiag_scale)
+            if pcoeffs.rho is not None:
+                # per-cell 1/rho into the Poisson GMG levels
+                inv_rho_cell = jnp.mean(1.0 / pcoeffs.rho, axis=1)
+                beta_p = pscale * (
+                    inv_rho_cell
+                    if per_cell_levels
+                    else _cells_to_subcells(
+                        inv_rho_cell,
+                        op.u_space.mesh.n_cells_axis,
+                        max(par.pressure_degree, 1),
+                    )
+                )
+            else:
+                beta_p = pscale
+            p_gmg = self.p_gmg_geom.compute(jnp.float64(0.0), beta_p)
 
         return PrecState(
             u_diag,
@@ -340,6 +425,7 @@ class NavierStokesPreconditioner:
             poisson_diag,
             p_lmax,
             mass_diag,
+            mass_diag_w,
             jnp.float64(inv_rho_weight),
             mass_coefficient,
             lin,
@@ -350,6 +436,26 @@ class NavierStokesPreconditioner:
         )
 
     # -- pieces ---------------------------------------------------------
+    @property
+    def _variable_schur(self) -> bool:
+        par = self.parameters
+        return (
+            par.linearization != Linearization.projection
+            and par.physical_type != PhysicalType.incompressible_stationary
+        )
+
+    def _poisson_scale_coeffs(self, inv_rho_weight, coeffs: Coefficients):
+        """(scale, coeffs) for the pressure Poisson operator: with variable
+        density the per-q 1/rho enters and the scale is 1/weight
+        (= inv_rho_weight * rho_min); otherwise the constant
+        1/(weight * rho_min) with no coefficients."""
+        scale = jnp.where(inv_rho_weight > 0, inv_rho_weight, 1.0)
+        if coeffs.rho is None:
+            return scale, Coefficients()
+        par = self.parameters
+        rho_min = min(par.density, par.density + par.density_diff)
+        return scale * rho_min, coeffs
+
     def _u_approx_inverse(
         self, st: PrecState, ru, tw, do_inner: bool, u_robust: bool = False
     ):
@@ -382,14 +488,17 @@ class NavierStokesPreconditioner:
         # (convection-dominated, no mass) block the Chebyshev polynomial of
         # the TRUE operator is the more robust choice, so GMG is gated to
         # transient runs.
+        per_cell_levels = getattr(self.op.u_space, "is_forest", False) or getattr(
+            self.op.u_space, "is_mapped", False
+        )
         use_gmg_here = (
             st.u_gmg is not None
             and self.parameters.physical_type != PhysicalType.incompressible_stationary
-            # variable-coefficient (two-phase) velocity blocks: the per-cell
-            # averaged alpha M + beta K model underperforms Chebyshev on the
-            # true operator (rising-bubble solves hit the iteration cap), so
-            # GMG smoothing is kept for constant-coefficient runs
-            and st.coeffs.rho is None
+            # variable-coefficient (two-phase) velocity blocks: forest/mapped
+            # GMG levels carry true per-cell rho/mu and work well; the
+            # lattice's Q1-subcell averaged model underperforms Chebyshev on
+            # the true operator there, so it stays constant-coefficient-only
+            and (st.coeffs.rho is None or per_cell_levels)
         )
         if use_gmg_here:
             M = lambda r: jnp.stack(
@@ -410,11 +519,12 @@ class NavierStokesPreconditioner:
         return cg(uA, ru, jnp.zeros_like(ru), tol, 100, M=M).x
 
     def _poisson_approx_inverse(self, st: PrecState, rp, strong: bool):
+        pscale, pcoeffs = self._poisson_scale_coeffs(
+            st.inv_rho_weight,
+            st.coeffs if self._variable_schur else Coefficients(),
+        )
         pA = lambda p: self.op.pressure_poisson_vmult(
-            p,
-            jnp.where(st.inv_rho_weight > 0, st.inv_rho_weight, 1.0),
-            st.coeffs,
-            self.constraints_schur,
+            p, pscale, pcoeffs, self.constraints_schur
         )
         if st.p_gmg is not None:
             M = lambda r: self._poisson_gmg_apply(st, r)
@@ -447,7 +557,7 @@ class NavierStokesPreconditioner:
         """CG on the scaled pressure mass, rel 1e-2, lumped-mass diagonal
         preconditioner (ns_prec.cc:741-773)."""
         mA = lambda p: self.op.pressure_mass_vmult(p, st.mass_coefficient)
-        dinv = DiagonalPreconditioner(st.mass_diag / st.mass_coefficient).inverse
+        dinv = DiagonalPreconditioner(st.mass_diag_w).inverse
         return cg(
             mA,
             rp,
@@ -477,9 +587,10 @@ class NavierStokesPreconditioner:
         temp = self.op.divergence_vmult_add(-rp, du, coeffs=st.coeffs)
 
         if par.physical_type == PhysicalType.incompressible_stationary:
-            # Kay-Loghin-Wathen (ns_prec.cc:678-708)
+            # Kay-Loghin-Wathen (ns_prec.cc:678-708); plain Laplacian with
+            # coefficient 1 (the stationary branch of nsm.cc:1020-1024)
             pA = lambda p: self.op.pressure_poisson_vmult(
-                p, jnp.float64(1.0), st.coeffs, self.constraints_schur
+                p, jnp.float64(1.0), Coefficients(), self.constraints_schur
             )
             if st.p_gmg is not None:
                 Mp = lambda r: self._poisson_gmg_apply(st, r)
@@ -559,8 +670,11 @@ class NavierStokesPreconditioner:
         rhs_p = op.divergence_vmult_add(
             jnp.zeros(op.p_space.n_dofs_padded), u_star, coeffs=st.coeffs, plain=True
         )
+        # projection scheme: constant-coefficient Poisson with rho_min (the
+        # reference's use_variable_coefficients excludes projection,
+        # nsm.cc:976-978)
         pA = lambda p: op.pressure_poisson_vmult(
-            p, st.inv_rho_weight, st.coeffs, constraints_schur
+            p, st.inv_rho_weight, Coefficients(), constraints_schur
         )
         if st.p_gmg is not None:
             pcheb = lambda r: self._poisson_gmg_apply(st, r)

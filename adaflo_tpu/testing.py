@@ -23,9 +23,21 @@ def normalize_output(text: str) -> list[str]:
     counts from residual tables (the reference strips '|'/'--' prefixed lines
     and deletes iteration counts, CMakeLists.txt:152-185)."""
     out = []
+    noise = (
+        # XLA/jax runtime stderr that can leak into captured output
+        "E0", "W0", "I0",  # absl glog prefixes (E0817 12:00:00 ...)
+        "WARNING:", "INFO:", "ERROR:",
+        "Constant folding an instruction is taking",
+        "slow_operation_alarm",
+        "This isn't necessarily a bug",
+        "compilation_cache",
+        "******",
+    )
     for line in text.splitlines():
         ls = line.strip()
         if ls.startswith("|") or ls.startswith("--") or ls.startswith("+"):
+            continue
+        if any(ls.startswith(n) for n in noise) or "slow_operation_alarm" in ls:
             continue
         # residual-table data rows: blank the "Lin Iter" column. Rows look
         # like "   1.234e-01   ...   <iters>   1.2e-5" — replace a bare

@@ -341,6 +341,11 @@ class TwoPhaseBaseAlgorithm:
         smeared heaviside/delta form (two_phase_base.cc:972-1091)."""
         if self.mesh.dim == 3:
             return self._compute_bubble_statistics_3d()
+        if self.is_simplex:
+            raise NotImplementedError(
+                "bubble statistics on simplex meshes: triangle sub-cell "
+                "contouring is not implemented (quad/forest meshes only)"
+            )
         if self.is_forest or self.is_mapped:
             return self._compute_bubble_statistics_forest(sub_refinements)
         par = self.parameters
@@ -475,6 +480,10 @@ class TwoPhaseBaseAlgorithm:
                 2, usp.basis, par.velocity_degree, sp.h_cells
             )
             cell_area = np.prod(sp.h_cells, axis=1)
+            # Cartesian cells: uniform sub-patch areas are exact
+            patch_areas = np.broadcast_to(
+                (cell_area / (sub * sub))[:, None], (len(cell_area), sub * sub)
+            )
         else:
             from adaflo_tpu.ops.mapped import MappedEvaluator
 
@@ -482,7 +491,16 @@ class TwoPhaseBaseAlgorithm:
             ev_c = MappedEvaluator(2, sp.basis, (pts, np.zeros_like(pts)), mp)
             ev_u = MappedEvaluator(2, usp.basis, (pts, np.zeros_like(pts)), mp)
             evg = MappedEvaluator(2, usp.basis, par.velocity_degree, mp)
-            cell_area = np.asarray(evg.jxw_cells).sum(axis=1)
+            # curved cells: per-patch area = |det J| at the patch center times
+            # the reference patch area, honoring intra-cell Jacobian variation
+            cc = (np.arange(sub) + 0.5) / sub
+            pyg, pxg = np.meshgrid(cc, cc, indexing="ij")
+            probes = np.stack([pxg.ravel(), pyg.ravel()], axis=1)
+            Jp, _ = mp.jacobians(probes)  # (E, sub*sub, 2, 2)
+            detp = np.abs(
+                Jp[..., 0, 0] * Jp[..., 1, 1] - Jp[..., 0, 1] * Jp[..., 1, 0]
+            )
+            patch_areas = detp / (sub * sub)
         c = np.asarray(self.hanging_constraints_ls.distribute_values(self.solution[0]))
         u = np.asarray(ns.solution[0])
         c_vals = np.asarray(ev_c.values(jnp.asarray(c)[sp.cell_dofs]))
@@ -515,8 +533,7 @@ class TwoPhaseBaseAlgorithm:
             cv = c_vals[idx].reshape(-1, n1, n1) + 1e-22
             uv = u_vals[idx].reshape(-1, 2, n1, n1)
             qq = qc[idx].reshape(-1, n1, n1, 2)
-            subcell_area = cell_area[idx] / (sub * sub)
-            w4 = np.repeat(subcell_area / 4.0, sub * sub)  # per patch
+            w4 = patch_areas[idx].reshape(-1) / 4.0  # per patch
 
             c00 = cv[:, :-1, :-1].reshape(-1)
             c01 = cv[:, :-1, 1:].reshape(-1)
