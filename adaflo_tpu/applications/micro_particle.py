@@ -57,13 +57,13 @@ def initial_distance(x, t=0.0):
     return np.linalg.norm(x - 0.5, axis=1) - 0.25
 
 
-def boundary_velocity(boundary_ind: int):
+def boundary_velocity(boundary_ind: int, dim: int = 2):
     """BoundaryValuesVelocity (micro_particle.cc:92-157): fixed directions
-    per mouth, ramped in over t < 0.01."""
+    per mouth, ramped in over t < 0.01; z-component 0 in 3D."""
     base = {1: (0.5, 0.0), 2: (0.0, 1.0), 3: (-10.0, 0.0)}[boundary_ind]
 
     def fn(x, t=0.0):
-        vals = np.zeros((2, len(x)))
+        vals = np.zeros((dim, len(x)))
         vals[0] = base[0]
         vals[1] = base[1]
         if t <= 0:
@@ -125,13 +125,18 @@ class MicroFluidicProblem:
         out=None,
         mesh_dir: str | None = None,
     ) -> None:
-        assert parameters.dimension == 2, (
-            "the TPU build runs the 2D microfluidic configuration "
-            "(3D extrusion of curved meshes pending)"
-        )
         self.parameters = parameters
         self.out = out
-        self.mesh = create_triangulation(mesh_dir)
+        base = create_triangulation(mesh_dir)
+        if parameters.dimension == 3:
+            # GridGenerator::extrude_triangulation(tria_2d, 9, 1.)
+            # (micro_particle.cc:326): 9 vertex levels = 8 cell slices over
+            # height 1; the z-caps are no-slip (boundary id 0, cc:279-289)
+            from adaflo_tpu.mesh.extruded import ExtrudedMesh
+
+            self.mesh = ExtrudedMesh(base, 8, 1.0, z_boundary_id=0)
+        else:
+            self.mesh = base
         if parameters.solver_method != "level set okz":
             raise ValueError(f"Unknown solver '{parameters.solver_method}'")
         from adaflo_tpu.twophase.level_set_okz import LevelSetOKZSolver
@@ -144,12 +149,14 @@ class MicroFluidicProblem:
         solver = self.solver
         par = self.parameters
         for bid in (1, 2, 3):
-            solver.set_velocity_dirichlet_boundary(bid, boundary_velocity(bid))
+            solver.set_velocity_dirichlet_boundary(
+                bid, boundary_velocity(bid, par.dimension)
+            )
         solver.set_no_slip_boundary(0)
         solver.set_open_boundary_with_normal_flux(
             4, lambda x, t: np.full(len(x), 50.0)
         )
-        solver.setup_problem(ZeroFunction(2), initial_distance)
+        solver.setup_problem(ZeroFunction(par.dimension), initial_distance)
         solver.output_solution(par.output_filename)
 
         self.solution_data = [solver.compute_bubble_statistics(0)]

@@ -19,6 +19,7 @@ from adaflo_tpu.twophase.sharp_interface import (
     FrontTrackingSolver,
     MixedLevelSetSolver,
     SurfaceMesh,
+    TriSurfaceMesh,
 )
 
 
@@ -27,13 +28,26 @@ class MicroFluidicProblem:
         self.parameters = parameters
         self.out = out
         dim = parameters.dimension
-        assert dim == 2, "sharp-interface drivers are 2D (like the reference)"
-        self.mesh = StructuredMesh.subdivided_hyper_rectangle(
-            (5, 10), (0.0, 0.0), (1.0, 2.0)
-        )
-        self.mesh.set_boundary_id(
-            lambda c: (np.abs(c[:, 0] - 1) < 1e-14) | (np.abs(c[:, 0]) < 1e-14), 2
-        )
+        if dim == 3:
+            # the dim-templated reference setup (sharp_interface.h:503-749):
+            # same channel extruded, symmetry on the x faces
+            self.mesh = StructuredMesh.subdivided_hyper_rectangle(
+                (5, 5, 10), (0.0, 0.0, 0.0), (1.0, 1.0, 2.0)
+            )
+            self.mesh.set_boundary_id(
+                lambda c: (np.abs(c[:, 0] - 1) < 1e-14)
+                | (np.abs(c[:, 0]) < 1e-14),
+                2,
+            )
+        else:
+            self.mesh = StructuredMesh.subdivided_hyper_rectangle(
+                (5, 10), (0.0, 0.0), (1.0, 2.0)
+            )
+            self.mesh.set_boundary_id(
+                lambda c: (np.abs(c[:, 0] - 1) < 1e-14)
+                | (np.abs(c[:, 0]) < 1e-14),
+                2,
+            )
         self.navier_stokes = NavierStokes(parameters, self.mesh, out=out)
 
     def run(self, n_steps=None) -> None:
@@ -41,13 +55,17 @@ class MicroFluidicProblem:
 
         par = self.parameters
         ns = self.navier_stokes
+        dim = par.dimension
         ns.set_no_slip_boundary(0)
         ns.fix_pressure_constant(0)
         ns.set_symmetry_boundary(2)
-        ns.setup_problem(ZeroFunction(2))
+        ns.setup_problem(ZeroFunction(dim))
         ns.print_n_dofs()
 
-        surface = SurfaceMesh.hyper_sphere((0.5, 0.5), 0.25, 256)
+        if dim == 3:
+            surface = TriSurfaceMesh.hyper_sphere((0.5, 0.5, 0.5), 0.25, 3)
+        else:
+            surface = SurfaceMesh.hyper_sphere((0.5, 0.5), 0.25, 256)
         method = par.solver_method
         if method == "front tracking":
             solver = FrontTrackingSolver(ns, surface)

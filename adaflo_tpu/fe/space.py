@@ -221,7 +221,9 @@ class ScalarSpace:
             n_qf = len(jxw)
             qcoords = np.empty((len(face_dofs), n_qf, self.dim))
             qcoords[..., axis] = corner[:, None, axis]
-            if len(rem_axes) == 1:
+            if len(rem_axes) == 0:
+                pass  # 1D: the face is a point; V_face = [[1]], jxw = [1]
+            elif len(rem_axes) == 1:
                 a = rem_axes[0]
                 qcoords[..., a] = corner[:, None, a] + mesh.h[a] * q1[None, :]
             else:

@@ -30,6 +30,11 @@ def evaluator_for(space, n_q_1d: int, dtype=None):
         from adaflo_tpu.ops.mapped import SimplexEvaluator
 
         return SimplexEvaluator(space, n_q_1d, dtype)
+    if getattr(space, "is_extruded", False):
+        # curved base x z-lattice: tensorized block-diagonal geometry
+        from adaflo_tpu.ops.mapped import Extruded3DEvaluator
+
+        return Extruded3DEvaluator(space, n_q_1d, dtype)
     if hasattr(space, "mapping"):
         # curved 2D quads with full Jacobians
         from adaflo_tpu.ops.mapped import MappedEvaluator

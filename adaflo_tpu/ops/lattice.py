@@ -84,8 +84,9 @@ class LatticeOps:
         flat = blocks.reshape(arr.shape[:-2] + (nc * deg,))
         return jnp.concatenate([flat, bndD[..., -1:]], axis=-1)
 
-    def gather(self, u_flat):
-        """(n,) -> (E, n_loc) via pure reshapes/slices."""
+    def _gather_core(self, u_flat):
+        """Window-split lattice with axes (cells..., loc_x, loc_y, loc_x):
+        the shared producer of gather()/gather_t()."""
         arr = self._to_ext_lattice(u_flat)
         d = self.dim
         # split each axis (working axis brought last), back-to-front
@@ -95,12 +96,28 @@ class LatticeOps:
             arr = self._split_axis_last(arr, self.n_cells_axis[a])
             # (..., nc_a, loc_a): move both back: cells to ax, keep loc at end
             arr = jnp.moveaxis(arr, -2, ax)
-        # now axes: (c_z, c_y, c_x, loc_x?, ...) — locals appended in order
+        return arr
+
+    def gather(self, u_flat):
+        """(n,) -> (E, n_loc) via pure reshapes/slices."""
+        arr = self._gather_core(u_flat)
+        d = self.dim
+        # axes: (c_z, c_y, c_x, loc_x?, ...) — locals appended in order
         # a=0 (x) first, so trailing local axes are (loc_x, loc_y, loc_z);
         # we need (loc_z, loc_y, loc_x) to match lexicographic x-fastest
         loc_perm = list(range(d)) + [2 * d - 1 - i for i in range(d)]
         arr = jnp.transpose(arr, loc_perm)
         return arr.reshape(self.n_cells, self.n_loc)
+
+    def gather_t(self, u_flat):
+        """(n,) -> (n_loc, E): transposed-layout gather for the Pallas
+        mat-vec (cells ride the lane axis). The transpose happens inside the
+        one fused output permutation — no materialized (E, n_loc) pass."""
+        arr = self._gather_core(u_flat)
+        d = self.dim
+        loc_perm = [2 * d - 1 - i for i in range(d)] + list(range(d))
+        arr = jnp.transpose(arr, loc_perm)
+        return arr.reshape(self.n_loc, self.n_cells)
 
     def scatter_add(self, r_cells):
         """(E, n_loc) -> (n_padded,): transpose of gather."""
@@ -110,7 +127,21 @@ class LatticeOps:
         # local axes currently (loc_z, loc_y, loc_x); reorder to the gather's
         # internal order (loc_x, loc_y, loc_z)
         loc_perm = list(range(d)) + [2 * d - 1 - i for i in range(d)]
-        arr = jnp.transpose(arr, loc_perm)
+        return self._scatter_core(jnp.transpose(arr, loc_perm))
+
+    def scatter_add_t(self, r_t):
+        """(n_loc, E) -> (n_padded,): transpose of gather_t."""
+        d = self.dim
+        cells_shape = tuple(reversed(self.n_cells_axis))
+        arr = r_t.reshape((self.deg + 1,) * d + cells_shape)
+        # axes (loc_z, loc_y, loc_x, c_z, c_y, c_x) -> internal
+        # (cells..., loc_x, loc_y, loc_z)
+        perm = list(range(d, 2 * d)) + [d - 1 - i for i in range(d)]
+        return self._scatter_core(jnp.transpose(arr, perm))
+
+    def _scatter_core(self, arr):
+        """Shared combiner: arr axes (cells..., loc_x, loc_y, loc_z)."""
+        d = self.dim
         # combine axes front-to... reverse of gather: physical axis d-1..0
         for a in reversed(range(d)):
             ax = d - 1 - a
@@ -167,10 +198,20 @@ class IndexMapOps:
         """(n_dofs_padded,) -> (E, n_loc)"""
         return u[self.cd]
 
+    def gather_t(self, u):
+        """(n_dofs_padded,) -> (n_loc, E)"""
+        return u[self.cd.T]
+
     def scatter_add(self, r_cells):
         """(E, n_loc) -> (n_dofs_padded,)"""
         return (
             jnp.zeros(self.n_dofs_padded, r_cells.dtype)
             .at[self.cd.ravel()]
             .add(r_cells.ravel())
+        )
+
+    def scatter_add_t(self, r_t):
+        """(n_loc, E) -> (n_dofs_padded,)"""
+        return (
+            jnp.zeros(self.n_dofs_padded, r_t.dtype).at[self.cd.T].add(r_t)
         )

@@ -97,6 +97,18 @@ class LevelSetOperators:
             self.ev_u_nsq = VariableCellEvaluator(self.dim, u_space.basis, nq_ns, hc)
             self.lat_ls = IndexMapOps.for_space(ls_space)
             self.lat_u = IndexMapOps.for_space(u_space)
+        elif getattr(ls_space, "is_extruded", False):
+            # curved 2D base x z-lattice (3D micro_particle)
+            from adaflo_tpu.ops.lattice import IndexMapOps
+            from adaflo_tpu.ops.mapped import Extruded3DEvaluator
+
+            self.ev_ls = Extruded3DEvaluator(ls_space, q_ls)
+            self.ev_u_lsq = Extruded3DEvaluator(u_space, q_ls)
+            self.ev_ls_nsq = Extruded3DEvaluator(ls_space, nq_ns)
+            self.ev_p_nsq = Extruded3DEvaluator(p_space, nq_ns)
+            self.ev_u_nsq = Extruded3DEvaluator(u_space, nq_ns)
+            self.lat_ls = IndexMapOps.for_space(ls_space)
+            self.lat_u = IndexMapOps.for_space(u_space)
         elif self.is_mapped:
             # unstructured (curved) meshes: full-Jacobian evaluators shared
             # through the spaces' CellMapping
@@ -139,6 +151,8 @@ class LevelSetOperators:
                 from adaflo_tpu.fe.simplex import simplex_cell_diameters
 
                 diam, _, _ = simplex_cell_diameters(ls_space.mesh)
+            elif getattr(ls_space, "is_extruded", False):
+                diam, _, _ = ls_space.mesh.diameters()  # (E3,)
             else:
                 diam, _, _ = ls_space.mapping.cell_diameters()
             self.reinit_diffusion = jnp.asarray(np.maximum(epsilon_used, diam / sub))

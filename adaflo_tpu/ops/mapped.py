@@ -171,3 +171,173 @@ class SimplexEvaluator(MappedEvaluatorBase):
         J = np.broadcast_to(Jc[:, None, :, :], (len(v), self.n_q, 2, 2)).copy()
         X = v[:, None, 0, :] + np.einsum("qb,eab->eqa", pts, Jc)
         self._set_geometry(J, X, w, dtype)
+
+
+class Extruded3DEvaluator:
+    """Tensor-product evaluation on extruded prismatic-hex cells.
+
+    The 3D Jacobian of an extruded cell is block-diagonal
+    (J3 = diag(J2(x, y), h_z)), so instead of materializing per-3D-cell
+    geometry this evaluator keeps the 2D base geometry (Jinv2, detJ2 from
+    the shared CellMapping) and broadcasts it over the z-slices inside the
+    contractions — the per-cell data streamed from HBM stays O(E_2d), not
+    O(E_2d * n_slices). Quadrature = (1D rule)^2 in-plane x same rule in z,
+    flat q index z-outer / in-plane-inner; local dofs lz-outer / l2-inner
+    (matching fe/extruded_space.py cell_dofs).
+
+    Reference parity: FEEvaluation<3> on the extruded triangulation of
+    micro_particle.cc:326.
+    """
+
+    def __init__(self, space, quad_points_1d, dtype=None) -> None:
+        import jax as _jax
+
+        if dtype is None:
+            dtype = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
+        self.dim = 3
+        self.dtype = dtype
+        basis = space.basis
+        mesh = space.mesh
+        mapping = space.mapping
+        if isinstance(quad_points_1d, (int, np.integer)):
+            q1, w1 = gauss_quadrature(int(quad_points_1d))
+        else:
+            q1, w1 = quad_points_1d
+        nq1 = len(q1)
+        self.n_q_1d = nq1
+        self.nq2 = nq1 * nq1
+        self.nqz = nq1
+        self.n_q = nq1 ** 3
+        n1 = basis.n_dofs
+        self.n1 = n1
+        self.nloc2 = n1 * n1
+        self.n_local = n1 ** 3
+        self.Nz = mesh.n_slices
+        self.E2 = mesh.base.n_cells
+        self.h_z = mesh.h_z
+        self.z0 = mesh.z0
+
+        # tables: 2D tensor + 1D z
+        V2, D2 = tensor_reference_basis(basis, q1)  # (nq2, nloc2[, 2])
+        Vz, Dz = basis.tabulate(q1)  # (nqz, n1)
+        self.V2 = jnp.asarray(V2, dtype)
+        self.D2 = jnp.asarray(D2, dtype)
+        self.Vz = jnp.asarray(Vz, dtype)
+        self.Dz = jnp.asarray(Dz, dtype)
+        # fused 3D tables for value/ref-gradient contraction (tiny)
+        V3 = np.einsum("zk,qi->zqki", Vz, V2).reshape(self.n_q, self.n_local)
+        D3 = np.empty((self.n_q, self.n_local, 3))
+        for a in range(2):
+            D3[:, :, a] = np.einsum("zk,qi->zqki", Vz, D2[:, :, a]).reshape(
+                self.n_q, self.n_local
+            )
+        D3[:, :, 2] = np.einsum("zk,qi->zqki", Dz, V2).reshape(
+            self.n_q, self.n_local
+        )
+        self.V = jnp.asarray(V3, dtype)
+        self.D = jnp.asarray(D3, dtype)
+
+        # 2D base geometry at the in-plane quadrature
+        qx, qy = np.meshgrid(q1, q1, indexing="xy")
+        ref2 = np.stack([qx.reshape(-1), qy.reshape(-1)], axis=1)
+        J2, X2 = mapping.jacobians(ref2)  # (E2, nq2, 2, 2), (E2, nq2, 2)
+        det2 = J2[..., 0, 0] * J2[..., 1, 1] - J2[..., 0, 1] * J2[..., 1, 0]
+        if not (det2 > 0).all():
+            raise ValueError("extruded base has non-positive Jacobians")
+        Jinv2 = np.empty_like(J2)
+        Jinv2[..., 0, 0] = J2[..., 1, 1]
+        Jinv2[..., 0, 1] = -J2[..., 0, 1]
+        Jinv2[..., 1, 0] = -J2[..., 1, 0]
+        Jinv2[..., 1, 1] = J2[..., 0, 0]
+        Jinv2 /= det2[..., None, None]
+        self.Jinv2 = jnp.asarray(Jinv2, dtype)  # [e2, q2, b, a]
+        w2 = np.einsum("a,b->ab", w1, w1).reshape(-1)
+        # jxw for one slice, (E2, n_q): z-outer x in-plane-inner
+        jxw_slice = np.einsum(
+            "z,eq->ezq", w1 * self.h_z, w2[None, :] * det2
+        ).reshape(self.E2, self.n_q)
+        self._jxw_slice = jnp.asarray(jxw_slice, dtype)
+        self._X2 = X2
+        self._q1 = q1
+        self._qcoords = None
+
+    # -- API parity with MappedEvaluatorBase --------------------------------
+    @property
+    def jxw_cells(self):
+        """(E3, n_q) — materialized tile (API compatibility)."""
+        return jnp.tile(self._jxw_slice, (self.Nz, 1))
+
+    def quad_coords(self, space=None) -> np.ndarray:
+        if self._qcoords is None:
+            E3 = self.Nz * self.E2
+            qc = np.empty((E3, self.n_q, 3))
+            xy = np.tile(self._X2, (1, self.nqz, 1))  # (E2, n_q, 2)
+            for kz in range(self.Nz):
+                blk = qc[kz * self.E2 : (kz + 1) * self.E2]
+                blk[:, :, :2] = xy
+                zq = self.z0 + self.h_z * (kz + self._q1)
+                blk[:, :, 2] = np.repeat(zq, self.nq2)[None, :]
+            self._qcoords = qc
+        return self._qcoords
+
+    def _split(self, arr):
+        """(E3, ..., X) -> (Nz, E2, ..., X)"""
+        return arr.reshape((self.Nz, self.E2) + arr.shape[1:])
+
+    def _flat(self, arr):
+        return arr.reshape((self.Nz * self.E2,) + arr.shape[2:])
+
+    # -- evaluation -----------------------------------------------------------
+    def values(self, u):
+        """(E3, ..., n_local) -> (E3, ..., n_q)"""
+        return jnp.einsum("qi,e...i->e...q", self.V, u)
+
+    def gradients(self, u):
+        """(E3, ..., n_local) -> (E3, ..., 3, n_q) physical gradients."""
+        gref = jnp.einsum("qib,e...i->e...bq", self.D, u)  # b = ref axes
+        g = self._split(gref)  # (Nz, E2, ..., 3, n_q)
+        gxy = self._inplane(g[..., :2, :], to_phys=True)
+        gz = g[..., 2:, :] / self.h_z
+        out = jnp.concatenate([gxy, gz], axis=-2)
+        return self._flat(out)
+
+    def _inplane(self, gxy, to_phys: bool):
+        """(Nz, E2, ..., 2, n_q) -> same shape: contract the in-plane pair
+        with Jinv2 (E2, nq2, b, a) broadcast over z. to_phys applies
+        grad_phys[a] = sum_b gref[b] Jinv2[b, a]; otherwise the transpose
+        (phys -> ref, contracting the physical axis)."""
+        sh = gxy.shape
+        gxy = gxy.reshape(sh[:-1] + (self.nqz, self.nq2))
+        if to_phys:
+            out = jnp.einsum("eqba,ze...bwq->ze...awq", self.Jinv2, gxy)
+        else:
+            out = jnp.einsum("eqba,ze...awq->ze...bwq", self.Jinv2, gxy)
+        return out.reshape(sh)
+
+    # -- integration ----------------------------------------------------------
+    def _jxw_b(self, arr):
+        """multiply (Nz, E2, ..., n_q) by jxw_slice (E2, n_q)"""
+        s = self._jxw_slice.reshape(
+            (1, self.E2) + (1,) * (arr.ndim - 3) + (self.n_q,)
+        )
+        return arr * s
+
+    def integrate_values(self, f):
+        """(E3, ..., n_q) -> (E3, ..., n_local)"""
+        fw = self._flat(self._jxw_b(self._split(f)))
+        return jnp.einsum("qi,e...q->e...i", self.V, fw)
+
+    def integrate_gradients(self, g):
+        """(E3, ..., 3, n_q) -> (E3, ..., n_local)"""
+        gs = self._jxw_b_grad(self._split(g))  # (Nz, E2, ..., 3, n_q)
+        gxy = self._inplane(gs[..., :2, :], to_phys=False)
+        gz = gs[..., 2:, :] / self.h_z
+        gref = self._flat(jnp.concatenate([gxy, gz], axis=-2))
+        return jnp.einsum("qib,e...bq->e...i", self.D, gref)
+
+    def _jxw_b_grad(self, arr):
+        """multiply (Nz, E2, ..., 3, n_q) by jxw_slice (E2, n_q)"""
+        s = self._jxw_slice.reshape(
+            (1, self.E2) + (1,) * (arr.ndim - 3) + (self.n_q,)
+        )
+        return arr * s

@@ -61,10 +61,12 @@ class Linearized(NamedTuple):
     val: jnp.ndarray  # (E, dim, n_q) linearization velocity u*
     grad: Optional[jnp.ndarray]  # (E, dim, dim, n_q) full gradient (Newton)
     div: jnp.ndarray  # (E, n_q) divergence of u*
-    # cell-local dofs of u* (E, dim, n_loc): carried for the fused Pallas
-    # mat-vec, which re-evaluates u* in VMEM instead of streaming the
-    # q-point fields from HBM
+    # cell-local dofs of u* (E, dim, n_loc)
     dofs: Optional[jnp.ndarray] = None
+    # (324, E) kernel-order relayout of (val, grad) for the fused Pallas
+    # mat-vec, materialized ONCE per Newton step (pallas_matvec.qfields_t)
+    # and streamed per apply instead of re-evaluated
+    qt: Optional[jnp.ndarray] = None
 
 
 class Coefficients(NamedTuple):
@@ -472,6 +474,10 @@ class NavierStokesOperator:
         ):
             # carry the linearization-point dofs for the fused Pallas mat-vec
             new_lin = new_lin._replace(dofs=uc)
+            if self._pallas_tables is not None and new_lin.grad is not None:
+                from adaflo_tpu.ops.pallas_matvec import qfields_t
+
+                new_lin = new_lin._replace(qt=qfields_t(new_lin))
 
         # stress is (E, comp, deriv, n_q): batch (E, comp), deriv axis at -2
         # exactly as integrate_gradients expects
@@ -496,26 +502,32 @@ class NavierStokesOperator:
         coeffs: Coefficients = Coefficients(),
     ):
         """Coupled-system mat-vec (navier_stokes_matrix.cc:221-262)."""
-        uc = self._gather_u(du, resolve=True)
         use_pallas = (
             self._pallas_tables is not None
             and lin is not None
-            and getattr(lin, "dofs", None) is not None
             and lin.grad is not None
             and coeffs.rho is None
             and coeffs.mu is None
             and coeffs.damping is None
         )
         if use_pallas:
-            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_cells
+            from adaflo_tpu.ops.pallas_matvec import (
+                coupled_vmult_cells,
+                qfields_t,
+            )
 
             par = self.parameters
-            E = uc.shape[0]
-            pc = self._gather_p(self.constraints_p.resolve(dp), resolve=False)
-            x_cells = jnp.concatenate([uc.reshape(E, -1), pc], axis=1)
-            lin_cells = jnp.concatenate(
-                [lin.dofs.reshape(E, -1), jnp.zeros_like(pc)], axis=1
+            # transposed-layout gather: (89, E) directly, no (E, 89) pass
+            u_res = [
+                self.constraints_u[c].resolve(du[c]) for c in range(3)
+            ]
+            p_res = self.constraints_p.resolve(dp)
+            x_t = jnp.concatenate(
+                [self.lat_u.gather_t(u_res[c]) for c in range(3)]
+                + [self.lat_p.gather_t(p_res)],
+                axis=0,
             )
+            s_t = lin.qt if lin.qt is not None else qfields_t(lin)
             scalars = (
                 tw.weight * par.density - par.damping,
                 tw.tau1 * par.density,
@@ -524,13 +536,23 @@ class NavierStokesOperator:
                 par.tau_grad_div,
             )
             out = coupled_vmult_cells(
-                x_cells, lin_cells, self._pallas_tables, scalars,
+                x_t, s_t, self._pallas_tables, scalars,
                 interpret=self._pallas_interpret,
             )
-            n_u3 = 3 * self.u_space.n_local
-            ru = self._scatter_u(out[:, :n_u3].reshape(E, 3, -1))
-            rp = self._scatter_p(out[:, n_u3:])
+            nl = self.u_space.n_local
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
+                    )
+                    for c in range(3)
+                ]
+            )
+            rp = self.constraints_p.condense(
+                self.lat_p.scatter_add_t(out[3 * nl :])
+            )
         else:
+            uc = self._gather_u(du, resolve=True)
             val_u = self.ev_u.values(uc)
             grad_u = self.ev_u.gradients(uc)
             p_q = self.pressure_values_q(dp, self.ev_p, resolve=True)
@@ -578,11 +600,9 @@ class NavierStokesOperator:
         coeffs: Coefficients = Coefficients(),
     ):
         """(0,0)-block mat-vec (navier_stokes_matrix.cc:337-382)."""
-        uc = self._gather_u(du, resolve=True)
         use_pallas = (
             self._pallas_tables is not None
             and lin is not None
-            and getattr(lin, "dofs", None) is not None
             and lin.grad is not None
             and coeffs.rho is None
             and coeffs.mu is None
@@ -591,13 +611,22 @@ class NavierStokesOperator:
         if use_pallas:
             # same fused kernel as the coupled vmult with zero pressure
             # input; the pressure output rows are discarded
-            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_cells
+            from adaflo_tpu.ops.pallas_matvec import (
+                coupled_vmult_cells,
+                qfields_t,
+            )
 
             par = self.parameters
-            E = uc.shape[0]
-            zp = jnp.zeros((E, self.p_space.n_local), uc.dtype)
-            x_cells = jnp.concatenate([uc.reshape(E, -1), zp], axis=1)
-            lin_cells = jnp.concatenate([lin.dofs.reshape(E, -1), zp], axis=1)
+            E = self.u_space.mesh.n_cells
+            u_res = [
+                self.constraints_u[c].resolve(du[c]) for c in range(3)
+            ]
+            zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
+            x_t = jnp.concatenate(
+                [self.lat_u.gather_t(u_res[c]) for c in range(3)] + [zp],
+                axis=0,
+            )
+            s_t = lin.qt if lin.qt is not None else qfields_t(lin)
             scalars = (
                 tw.weight * par.density - par.damping,
                 tw.tau1 * par.density,
@@ -606,12 +635,20 @@ class NavierStokesOperator:
                 par.tau_grad_div,
             )
             out = coupled_vmult_cells(
-                x_cells, lin_cells, self._pallas_tables, scalars,
+                x_t, s_t, self._pallas_tables, scalars,
                 interpret=self._pallas_interpret,
             )
-            n_u3 = 3 * self.u_space.n_local
-            ru = self._scatter_u(out[:, :n_u3].reshape(E, 3, -1))
+            nl = self.u_space.n_local
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
+                    )
+                    for c in range(3)
+                ]
+            )
         else:
+            uc = self._gather_u(du, resolve=True)
             r_u = self.local_velocity_apply(uc, tw, lin, coeffs)
             ru = self._scatter_u(r_u)
         for c in range(self.dim):

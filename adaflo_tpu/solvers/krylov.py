@@ -72,7 +72,14 @@ def cg(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None, reduction=Non
     `reduction` optionally adds a relative criterion (deal.II
     ReductionControl)."""
     M = M or _identity
-    r = _sub(b, A(x0))
+    # x0=None: zero initial guess WITHOUT applying A to a constant zero
+    # (XLA would constant-fold the whole operator chain through it — the
+    # multi-minute 3D compile pathology)
+    if x0 is None:
+        x0 = _zeros_like(b)
+        r = b
+    else:
+        r = _sub(b, A(x0))
     z = M(r)
     p = z
     rz = _dot(r, z)
@@ -107,7 +114,11 @@ def bicgstab(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None):
     residual estimate (the reference's exact_residual=false setting,
     level_set_okz_advance_concentration.cc:623-644)."""
     M = M or _identity
-    r = _sub(b, A(x0))
+    if x0 is None:  # see cg: avoid folding A through a constant zero
+        x0 = _zeros_like(b)
+        r = b
+    else:
+        r = _sub(b, A(x0))
     r0 = r
     res0 = _norm(r)
 
@@ -193,7 +204,7 @@ def _gmres_impl(
     m = restart
 
     b_flat = flat(b)
-    x0_flat = flat(x0)
+    x0_flat = jnp.zeros(n, dtype) if x0 is None else flat(x0)
 
     def restart_cycle(x, k_done):
         r = b_flat - Af(x)
@@ -280,7 +291,11 @@ def _gmres_impl(
         x, k, _ = st
         return restart_cycle(x, k)
 
-    r0 = jnp.linalg.norm(b_flat - Af(x0_flat))
+    r0 = (
+        jnp.linalg.norm(b_flat)
+        if x0 is None
+        else jnp.linalg.norm(b_flat - Af(x0_flat))
+    )
     x, k, res = lax.while_loop(
         outer_cond, outer_body, (x0_flat, jnp.int32(0), r0)
     )

@@ -31,7 +31,12 @@ from adaflo_tpu.ops.navier_stokes import (
     NavierStokesOperator,
     TimeWeights,
 )
-from adaflo_tpu.parameters import FlowParameters, Linearization, PhysicalType
+from adaflo_tpu.parameters import (
+    FlowParameters,
+    Linearization,
+    PhysicalType,
+    VelocityPreconditioner,
+)
 from adaflo_tpu.solvers.krylov import fgmres
 from adaflo_tpu.solvers.preconditioner import NavierStokesPreconditioner, PrecState
 from adaflo_tpu.time_stepping import TimeStepping
@@ -84,9 +89,10 @@ class NavierStokes(FlowBaseAlgorithm):
 
     @property
     def is_mapped(self) -> bool:
+        from adaflo_tpu.mesh.extruded import ExtrudedMesh
         from adaflo_tpu.mesh.unstructured import HexMesh, QuadMesh, TriMesh
 
-        return isinstance(self.mesh, (QuadMesh, TriMesh, HexMesh))
+        return isinstance(self.mesh, (QuadMesh, TriMesh, HexMesh, ExtrudedMesh))
 
     def setup_problem(self, initial_velocity_fn=None) -> None:
         par = self.parameters
@@ -129,6 +135,19 @@ class NavierStokes(FlowBaseAlgorithm):
 
                 self.u_space = Hex3DSpace(mesh, par.velocity_degree)
                 self.p_space = Hex3DSpace(mesh, par.pressure_degree)
+            elif getattr(mesh, "is_extruded", False):
+                # curved 2D base swept in z (micro_particle.cc:326): tensor
+                # spaces over the shared base mapping
+                from adaflo_tpu.fe.extruded_space import ExtrudedSpace
+                from adaflo_tpu.fe.mapped_space import CellMapping
+
+                self.cell_mapping = CellMapping(mesh.base, degree=3)
+                self.u_space = ExtrudedSpace(
+                    mesh, par.velocity_degree, self.cell_mapping
+                )
+                self.p_space = ExtrudedSpace(
+                    mesh, par.pressure_degree, self.cell_mapping
+                )
             else:
                 # one mapping shared by velocity and pressure (the
                 # reference's single MappingQ(3), flow_base_algorithm.cc:44-46)
@@ -176,11 +195,6 @@ class NavierStokes(FlowBaseAlgorithm):
 
     def _allocate_vectors(self, initial_velocity_fn=None) -> None:
         par = self.parameters
-        if par.augmented_taylor_hood and par.linearization == Linearization.projection:
-            raise NotImplementedError(
-                "augmented Taylor-Hood with the projection scheme is not "
-                "yet supported in the TPU build"
-            )
         n_u = self.u_space.n_dofs_padded
         n_p = self.operator.n_p_padded if par.augmented_taylor_hood else (
             self.p_space.n_dofs_padded
@@ -705,11 +719,20 @@ class NavierStokes(FlowBaseAlgorithm):
         growth = self._prec_state.u_cheb_growth
         self._u_robust = bool(float(growth) > 1.0) if growth is not None else False
         v = self.parameters.output_verbosity
-        label = "GMRs" if self._u_robust else "Cheb"
+        # label by the user's preconditioner selection, with the reference's
+        # spelling (navier_stokes.cc:536-547) — the TPU-native realization
+        # behind it (GMG / Chebyshev / Jacobi-GMRES) is an implementation
+        # detail of the same prm option
+        label = {
+            VelocityPreconditioner.u_ilu: "ILU ",
+            VelocityPreconditioner.u_ilu_scalar: "ILUs",
+            VelocityPreconditioner.u_amg: "AMG ",
+            VelocityPreconditioner.u_amg_linear: "AMGl",
+        }[self.parameters.precondition_velocity]
         if v == 1:
-            self._p(f"/{label}", end="")
+            self._p(f"/{label.strip()}", end="")
         elif v >= 2:
-            self._p(f"    {label}    ", end="")
+            self._p(f"    {label}   ", end="")
 
     def solve_system(self, linear_tolerance: float):
         """Two-stage linear solve (navier_stokes.cc:559-653): cheap

@@ -513,10 +513,16 @@ class NavierStokesPreconditioner:
             )
         if not do_inner:
             return M(ru)
-        # inner solve to 3e-2 relative (ns_prec.cc:636-665; BiCGStab there,
-        # CG-equivalent robustness via FGMRES outer here)
+        # inner solve to 3e-2 relative with BiCGStab, like the reference
+        # (ns_prec.cc:636-665) — the velocity block is nonsymmetric
+        # (convection), so CG is not admissible here
+        from adaflo_tpu.solvers.krylov import bicgstab as _bicgstab
+
         tol = 3e-2 * jnp.sqrt(jnp.vdot(ru, ru).real)
-        return cg(uA, ru, jnp.zeros_like(ru), tol, 100, M=M).x
+        res = _bicgstab(uA, ru, None, tol, 50, M=M)
+        # fall back to the plain apply if the inner iteration broke down
+        ok = res.converged | (res.residual < jnp.sqrt(jnp.vdot(ru, ru).real))
+        return jnp.where(ok, res.x, M(ru))
 
     def _poisson_approx_inverse(self, st: PrecState, rp, strong: bool):
         pscale, pcoeffs = self._poisson_scale_coeffs(
@@ -535,7 +541,7 @@ class NavierStokesPreconditioner:
         if not strong:
             return M(rp)
         tol = 3e-2 * jnp.sqrt(jnp.vdot(rp, rp).real)
-        return cg(pA, rp, jnp.zeros_like(rp), tol, 30, M=M).x
+        return cg(pA, rp, None, tol, 30, M=M).x
 
     def _poisson_gmg_apply(self, st: PrecState, r):
         """Poisson V-cycle on the Q part; Jacobi on the DG0 constants
@@ -599,7 +605,7 @@ class NavierStokesPreconditioner:
                     pA, st.poisson_diag, st.poisson_lambda_max, self.p_cheb_deg
                 )
             tol = 1e-2 * jnp.sqrt(jnp.vdot(temp, temp).real)
-            dp = cg(pA, temp, jnp.zeros_like(temp), tol, 30, M=Mp).x
+            dp = cg(pA, temp, None, tol, 30, M=Mp).x
             cs = self.constraints_schur.constrained_dofs
             if len(cs):
                 dp = dp.at[cs].set(0.0)
@@ -686,7 +692,7 @@ class NavierStokesPreconditioner:
         tol_p = 0.1 * dt_start / rho_min * nl_tolerance
         cs = constraints_schur.constrained_dofs
         rhs_pz = rhs_p.at[cs].set(0.0) if len(cs) else rhs_p
-        phi = cg(pA, rhs_pz, jnp.zeros_like(rhs_pz), tol_p, 1000, M=pcheb).x
+        phi = cg(pA, rhs_pz, None, tol_p, 1000, M=pcheb).x
         phi = constraints_schur.distribute(phi)
 
         # rotational part: rhs = -mu div(u*); mass solve (cc:827-846)

@@ -50,7 +50,12 @@ def normalize_output(text: str) -> list[str]:
         # (system/tolerance dependent), like the reference's sed pass
         # (tests/CMakeLists.txt:152-185)
         line = re.sub(r"/\d+\]", "/ITER]", line)
-        out.append(line.rstrip())
+        line = line.rstrip()
+        # collapse blank-line runs (stripping timer/statistics blocks leaves
+        # a variable number of blanks around them)
+        if not line and out and not out[-1]:
+            continue
+        out.append(line)
     # drop trailing blank lines
     while out and not out[-1]:
         out.pop()

@@ -64,9 +64,16 @@ class TwoPhaseBaseAlgorithm:
 
     @property
     def is_mapped(self) -> bool:
+        from adaflo_tpu.mesh.extruded import ExtrudedMesh
         from adaflo_tpu.mesh.unstructured import QuadMesh
 
-        return isinstance(self.mesh, QuadMesh)
+        return isinstance(self.mesh, (QuadMesh, ExtrudedMesh))
+
+    @property
+    def is_extruded(self) -> bool:
+        from adaflo_tpu.mesh.extruded import ExtrudedMesh
+
+        return isinstance(self.mesh, ExtrudedMesh)
 
     @property
     def is_simplex(self) -> bool:
@@ -138,6 +145,15 @@ class TwoPhaseBaseAlgorithm:
             from adaflo_tpu.fe.simplex import SimplexSpace
 
             self.ls_space = SimplexSpace(mesh, par.concentration_subdivisions)
+        elif self.is_extruded:
+            from adaflo_tpu.fe.extruded_space import ExtrudedSpace
+
+            self.ls_space = ExtrudedSpace(
+                mesh,
+                par.concentration_subdivisions,
+                self.navier_stokes.cell_mapping,
+                self.concentration_support,
+            )
         elif self.is_mapped:
             from adaflo_tpu.fe.mapped_space import MappedSpace
 
@@ -166,6 +182,10 @@ class TwoPhaseBaseAlgorithm:
             from adaflo_tpu.fe.simplex import simplex_cell_diameters
 
             _, gmin, gmax = simplex_cell_diameters(mesh)
+            self.cell_diameter = gmax
+            self.minimal_edge_length = gmin
+        elif self.is_extruded:
+            _, gmin, gmax = mesh.diameters()
             self.cell_diameter = gmax
             self.minimal_edge_length = gmin
         elif self.is_mapped:
@@ -596,30 +616,43 @@ class TwoPhaseBaseAlgorithm:
         ns = self.navier_stokes
         sub = par.concentration_subdivisions
         q_ls = iterated_gauss_quadrature(sub, 2)
-        ev_c = CellEvaluator(3, self.ls_space.basis, q_ls, self.mesh.h)
-        ev_u = CellEvaluator(3, ns.u_space.basis, q_ls, self.mesh.h)
+        if self.is_extruded:
+            from adaflo_tpu.ops.mapped import Extruded3DEvaluator
+
+            ev_c = Extruded3DEvaluator(self.ls_space, q_ls)
+            ev_u = Extruded3DEvaluator(ns.u_space, q_ls)
+            jxw = np.asarray(ev_c.jxw_cells)  # (E, n_q): per-cell geometry
+        else:
+            ev_c = CellEvaluator(3, self.ls_space.basis, q_ls, self.mesh.h)
+            ev_u = CellEvaluator(3, ns.u_space.basis, q_ls, self.mesh.h)
+            jxw = np.broadcast_to(
+                np.asarray(ev_c.jxw)[None, :],
+                (self.ls_space.cell_dofs.shape[0], ev_c.n_q),
+            )
         cd = self.ls_space.cell_dofs
-        H = np.asarray(ev_c.values(jnp.asarray(np.asarray(self.heaviside)[cd])))
-        nrm = np.asarray(self.normal_vector_field)
-        delta = np.stack(
-            [np.asarray(ev_c.values(jnp.asarray(nrm[d][cd]))) for d in range(3)]
-        )  # (3, E, n_q)
+        hv = jnp.asarray(np.asarray(self.heaviside)[cd])
+        H = np.asarray(ev_c.values(hv))
+        # delta = grad H at the quadrature points (the reference's
+        # evaluate_heaviside_function fills cell_delta_val with the heaviside
+        # gradient, two_phase_base.cc:1016-1023)
+        delta = np.moveaxis(np.asarray(ev_c.gradients(hv)), 1, 0)  # (3, E, n_q)
         u = np.asarray(ns.solution[0])
         uc = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
         uv = np.asarray(ev_u.values(uc))  # (E, 3, n_q)
         qp = ev_c.quad_coords(self.mesh)  # (E, n_q, 3)
-        jxw = np.asarray(ev_c.jxw)
 
-        volume = float((H * jxw[None, :]).sum())
-        area = float(
-            (0.5 * np.sqrt((delta**2).sum(axis=0)) * jxw[None, :]).sum()
-        )
-        vel = np.einsum("edq,eq,q->d", uv, H, jxw)
-        com = np.einsum("eqd,eq,q->d", qp, H, jxw)
+        volume = float((H * jxw).sum())
+        area = float((0.5 * np.sqrt((delta**2).sum(axis=0)) * jxw).sum())
+        vel = np.einsum("edq,eq,eq->d", uv, H, jxw)
+        com = np.einsum("eqd,eq,eq->d", qp, H, jxw)
         norm_v = float(np.linalg.norm(vel))
         self.set_adaptive_time_step(norm_v / volume)
         pi = np.pi
-        sphericity = (pi ** (1.0 / 3.0)) * (6 * volume) ** (2.0 / 3.0) / area
+        sphericity = (
+            (pi ** (1.0 / 3.0)) * (6 * volume) ** (2.0 / 3.0) / area
+            if area > 0
+            else 0.0
+        )
 
         if par.output_verbosity > 0:
             self._p(f"  Volume of the particle: {fmt8(volume)}")

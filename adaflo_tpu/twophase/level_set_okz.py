@@ -90,11 +90,11 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             )
             A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag)
             M = lambda r: self.inv_mass_diag * r
-            res = bicgstab(A, rhs, jnp.zeros_like(rhs), abs_tol, 30, M=M)
+            res = bicgstab(A, rhs, None, abs_tol, 30, M=M)
             rhs_norm = jnp.sqrt(jnp.vdot(rhs, rhs).real)
 
             def fallback(_):
-                r2 = gmres(A, rhs, jnp.zeros_like(rhs), abs_tol, 300, 50, M=M)
+                r2 = gmres(A, rhs, None, abs_tol, 300, 50, M=M)
                 return r2.x, res.iterations + r2.iterations
 
             def keep(_):

@@ -128,7 +128,7 @@ class LevelSetSolver:
         A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag)
         M = lambda r: self.inv_mass_diag * r
         tol = jnp.float64(0.05 * self.parameters.tol_nl_iteration)
-        res = bicgstab(A, rhs, jnp.zeros_like(rhs), tol, 30, M=M)
+        res = bicgstab(A, rhs, None, tol, 30, M=M)
         inc = res.x
         self.solution = self.solution + inc
 
@@ -336,22 +336,70 @@ def marching_squares(ls_space: ScalarSpace, c, n_sub: Optional[int] = None):
     return np.concatenate(segs, axis=0)
 
 
+def marching_tetrahedra(ls_space: ScalarSpace, c, n_sub: Optional[int] = None):
+    """Zero-contour triangle soup (n_tri, 3, 3) of a 3D level-set field:
+    per-cell equidistant sub-lattice corners fed through the ambiguity-free
+    6-tet decomposition (utils/point_eval.py marching_tetrahedra_cells) —
+    the GridTools::MarchingCubeAlgorithm analog of
+    sharp_interface_util.h:833."""
+    from adaflo_tpu.fe.basis import equidistant_points
+    from adaflo_tpu.ops.tensor import CellEvaluator
+    from adaflo_tpu.utils.point_eval import marching_tetrahedra_cells
+
+    mesh = ls_space.mesh
+    sub = n_sub or ls_space.degree
+    pts = equidistant_points(sub + 1)
+    ev = CellEvaluator(3, ls_space.basis, (pts, np.zeros_like(pts)), mesh.h)
+    cv = np.asarray(
+        ev.values(jnp.asarray(np.asarray(c)[ls_space.cell_dofs]))
+    )
+    qc = ev.quad_coords(mesh)
+    n1 = sub + 1
+    V = cv.reshape(-1, n1, n1, n1)  # (E, z, y, x)
+    Q = qc.reshape(-1, n1, n1, n1, 3)
+
+    def corners(A):
+        return np.stack(
+            [
+                A[:, :-1, :-1, :-1], A[:, :-1, :-1, 1:],
+                A[:, :-1, 1:, :-1], A[:, :-1, 1:, 1:],
+                A[:, 1:, :-1, :-1], A[:, 1:, :-1, 1:],
+                A[:, 1:, 1:, :-1], A[:, 1:, 1:, 1:],
+            ],
+            axis=-1,
+        ).reshape(-1, 8)
+
+    cvals = corners(V)
+    ccoords = np.stack([corners(Q[..., d]) for d in range(3)], axis=-1)
+    # only sub-cells straddling zero contribute
+    straddle = (cvals.min(axis=1) <= 0) & (cvals.max(axis=1) >= 0)
+    return marching_tetrahedra_cells(cvals[straddle], ccoords[straddle])
+
+
 def compute_force_vector_sharp_interface(
     u_space, segments: np.ndarray, sigma: float, kappa_at, normal_at
 ):
-    """Surface-tension force integral over interface segments, scattered to
+    """Surface-tension force integral over interface elements, scattered to
     the background velocity space (compute_force_vector_sharp_interface,
     sharp_interface_util.h:332-441): sum_s sigma kappa(x_s) n(x_s) |s|
-    phi_i(x_s) with midpoint quadrature."""
+    phi_i(x_s) with midpoint/centroid quadrature. `segments` is a
+    (n, 2, 2) segment array (2D) or a (n, 3, 3) triangle soup (3D)."""
+    dim = 2 if (len(segments) == 0 or segments.shape[1] == 2) else 3
     if len(segments) == 0:
-        return np.zeros((2, u_space.n_dofs_padded))
+        return np.zeros((dim, u_space.n_dofs_padded))
     mid = segments.mean(axis=1)
-    seg = segments[:, 1] - segments[:, 0]
-    lengths = np.linalg.norm(seg, axis=1)
+    if dim == 2:
+        seg = segments[:, 1] - segments[:, 0]
+        measure = np.linalg.norm(seg, axis=1)
+    else:
+        cr = np.cross(
+            segments[:, 1] - segments[:, 0], segments[:, 2] - segments[:, 0]
+        )
+        measure = 0.5 * np.linalg.norm(cr, axis=1)
     kappa = kappa_at(mid)
     normal = normal_at(mid)
-    w = sigma * kappa[None, :] * normal * lengths[None, :]
-    return scatter_at_points(u_space, mid, w, n_components=2)
+    w = sigma * kappa[None, :] * normal * measure[None, :]
+    return scatter_at_points(u_space, mid, w, n_components=dim)
 
 
 # ---------------------------------------------------------------------------
@@ -378,10 +426,17 @@ class FrontTrackingSolver(SharpInterfaceSolver):
         par = ns.parameters
         if par.density_diff == 0 and par.viscosity_diff == 0:
             return
-        qp = ns.operator.ev_u.quad_coords(ns.mesh).reshape(-1, 2)
+        qp = ns.operator.ev_u.quad_coords(ns.mesh).reshape(-1, ns.dim)
         # heaviside = 1 outside the bubble (positive level set outside in
         # the rising-bubble convention)
-        inside = winding_number_inside(self.surface.points, qp)
+        if ns.dim == 3:
+            from adaflo_tpu.utils.point_eval import solid_angle_inside
+
+            inside = solid_angle_inside(
+                self.surface.points, self.surface.triangles, qp
+            )
+        else:
+            inside = winding_number_inside(self.surface.points, qp)
         H = np.where(inside, 0.0, 1.0).reshape(ns.mesh.n_cells, -1)
         rho = par.density + par.density_diff * H
         mu = par.viscosity + par.viscosity_diff * H
@@ -390,9 +445,12 @@ class FrontTrackingSolver(SharpInterfaceSolver):
     def _compute_force(self) -> None:
         ns = self.ns
         par = ns.parameters
-        mid, normal, lengths, kappa = self.surface.segment_data()
+        if ns.dim == 3:
+            mid, normal, lengths, kappa = self.surface.triangle_data()
+        else:
+            mid, normal, lengths, kappa = self.surface.segment_data()
         w = par.surface_tension * kappa[None, :] * normal.T * lengths[None, :]
-        f = scatter_at_points(ns.u_space, mid, w, n_components=2)
+        f = scatter_at_points(ns.u_space, mid, w, n_components=ns.dim)
         # gravity body force
         rho = ns.coefficients.rho
         if rho is None:
@@ -470,7 +528,10 @@ class MixedLevelSetSolver(SharpInterfaceSolver):
         if self.sharp:
             # replace the regularized surface-tension part with the sharp
             # surface integral over the reconstructed contour
-            segs = marching_squares(ls.ls_space, ls.solution)
+            if ns.dim == 3:
+                segs = marching_tetrahedra(ls.ls_space, ls.solution)
+            else:
+                segs = marching_squares(ls.ls_space, ls.solution)
             kappa_at = lambda x: evaluate_at_points(
                 ls.ls_space, np.asarray(ls.curvature), x
             )
@@ -516,3 +577,115 @@ class MixedLevelSetSolver(SharpInterfaceSolver):
             )
         self._compute_force()
         return ns.evaluate_time_step()
+
+
+# ---------------------------------------------------------------------------
+class TriSurfaceMesh:
+    """Closed 3D triangle-mesh interface (the codim-1 surface Triangulation
+    of the reference's dim-templated front tracking, sharp_interface.h:503-
+    749). Vertices move with the flow; triangles stay fixed topology."""
+
+    def __init__(self, vertices: np.ndarray, triangles: np.ndarray) -> None:
+        self.points = np.asarray(vertices, dtype=np.float64)
+        self.triangles = np.asarray(triangles, dtype=np.int64)
+
+    @classmethod
+    def hyper_sphere(cls, center, radius: float, n_refinements: int = 3):
+        """Icosphere: subdivided icosahedron projected to the sphere,
+        consistently outward-oriented."""
+        phi = (1.0 + np.sqrt(5.0)) / 2.0
+        v = np.array(
+            [
+                [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+            ],
+            dtype=np.float64,
+        )
+        v /= np.linalg.norm(v, axis=1)[:, None]
+        f = np.array(
+            [
+                [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+            ]
+        )
+        for _ in range(n_refinements):
+            mid_cache = {}
+            verts = list(v)
+
+            def midpoint(a, b):
+                key = (min(a, b), max(a, b))
+                if key not in mid_cache:
+                    m = verts[a] + verts[b]
+                    m /= np.linalg.norm(m)
+                    mid_cache[key] = len(verts)
+                    verts.append(m)
+                return mid_cache[key]
+
+            nf = []
+            for a, b, c in f:
+                ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+                nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+            v = np.asarray(verts)
+            f = np.asarray(nf)
+        center = np.asarray(center, dtype=np.float64)
+        return cls(center[None, :] + radius * v, f)
+
+    def move(self, u_space, velocity, dt: float) -> None:
+        """RK2 vertex advection with the background velocity (the
+        update_position_vector analog, sharp_interface_util.h:52-123)."""
+        u = np.asarray(velocity)
+        v1 = evaluate_at_points(u_space, u, self.points).T
+        mid = self.points + 0.5 * dt * v1
+        v2 = evaluate_at_points(u_space, u, mid).T
+        self.points = self.points + dt * v2
+
+    def triangle_data(self):
+        """(centroids (T,3), unit normals (T,3), areas (T,), mean curvature
+        at centroids (T,)). Normals follow the construction orientation
+        (outward for hyper_sphere); curvature from the cotangent-Laplacian
+        mean-curvature vector averaged onto triangles (the surface
+        compute_curvature projection analog, sharp_interface_util.h:443-537)."""
+        p = self.points
+        t = self.triangles
+        tri = p[t]  # (T, 3, 3)
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        cr = np.cross(e1, e2)
+        areas2 = np.linalg.norm(cr, axis=1)
+        normals = cr / np.maximum(areas2, 1e-300)[:, None]
+        areas = 0.5 * areas2
+        centroids = tri.mean(axis=1)
+
+        # cotangent Laplacian: H_i = (1 / (2 A_i)) sum_j (cot a + cot b)(x_i - x_j)
+        nv = len(p)
+        Hvec = np.zeros((nv, 3))
+        Avor = np.zeros(nv)
+        for k in range(3):
+            i = t[:, k]
+            j = t[:, (k + 1) % 3]
+            o = t[:, (k + 2) % 3]
+            # cot of the angle at o, opposite edge (i, j)
+            u_ = p[i] - p[o]
+            v_ = p[j] - p[o]
+            cot = np.einsum("td,td->t", u_, v_) / np.maximum(
+                np.linalg.norm(np.cross(u_, v_), axis=1), 1e-300
+            )
+            d = p[i] - p[j]
+            np.add.at(Hvec, i, 0.5 * cot[:, None] * d)
+            np.add.at(Hvec, j, -0.5 * cot[:, None] * d)
+            np.add.at(Avor, i, areas / 3.0)
+        Hvec /= np.maximum(Avor, 1e-300)[:, None]
+        # signed mean curvature: positive when the curvature vector points
+        # AGAINST the outward normal (sphere: kappa = 2/R ... sign matches
+        # the 2D convention of segment_data)
+        vn = np.zeros((nv, 3))
+        np.add.at(vn, t[:, 0], cr)
+        np.add.at(vn, t[:, 1], cr)
+        np.add.at(vn, t[:, 2], cr)
+        vn /= np.maximum(np.linalg.norm(vn, axis=1), 1e-300)[:, None]
+        kappa_v = -np.einsum("vd,vd->v", Hvec, vn)
+        kappa = kappa_v[t].mean(axis=1)
+        return centroids, normals, areas, kappa

@@ -1,0 +1,147 @@
+"""Golden-output sweep: every reference driver variant pinned to stored
+numerics (the reference stores 29 outputs over 30 prms,
+tests/CMakeLists.txt:90-229 — this sweep closes the breadth gap with short
+configurations of the same physics).
+
+Each case runs a driver main() on a tests/prms config and compares the full
+normalized screen output against tests/golden/<name>.output (iteration
+counts scrubbed, numdiff tolerances abs 1e-5 / rel 1e-8) — the identical
+mechanism to the reference's harness.
+"""
+
+import os
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).parent
+SLOW = not os.environ.get("ADAFLO_RUN_SLOW")
+
+
+def _run(module_name: str, prm: str, golden: str):
+    import importlib
+
+    from adaflo_tpu.testing import compare_with_golden, run_driver_capture
+
+    mod = importlib.import_module(module_name)
+    text = run_driver_capture(mod.main, str(HERE / "prms" / prm))
+    compare_with_golden(text, HERE / "golden" / golden)
+
+
+CASES = [
+    # (id, driver module, prm, golden)
+    ("couette", "adaflo_tpu.drivers.couette", "couette.prm", "couette.output"),
+    ("1d_flow", "adaflo_tpu.drivers.flow_1d", "flow_1d.prm", "flow_1d.output"),
+    (
+        "1d_flow_damped",
+        "adaflo_tpu.drivers.flow_1d",
+        "flow_1d_damped.prm",
+        "flow_1d_damped.output",
+    ),
+    (
+        "beltrami_2d_proj",
+        "adaflo_tpu.drivers.beltrami",
+        "beltrami_2d_proj_small.prm",
+        "beltrami_2d_proj_small.output",
+    ),
+    (
+        "rb_ls_picard",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_picard_short.prm",
+        "rising_bubble_ls_picard_short.output",
+    ),
+    (
+        "rb_ls_expl",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_expl_short.prm",
+        "rising_bubble_ls_expl_short.output",
+    ),
+    (
+        "rb_ls_imex",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_imex_short.prm",
+        "rising_bubble_ls_imex_short.output",
+    ),
+    (
+        "rb_ls_q3",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_q3_short.prm",
+        "rising_bubble_ls_q3_short.output",
+    ),
+    (
+        "rb_ls_augp",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_augp_short.prm",
+        "rising_bubble_ls_augp_short.output",
+    ),
+    (
+        "rb_ls_matrix",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_matrix_short.prm",
+        "rising_bubble_ls_matrix_short.output",
+    ),
+    (
+        "rb_pf",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_pf_short.prm",
+        "rising_bubble_pf_short.output",
+    ),
+    (
+        "spurious_ls",
+        "adaflo_tpu.drivers.spurious_currents",
+        "spurious_currents_ls_short.prm",
+        "spurious_currents_ls_short.output",
+    ),
+    (
+        "spurious_pf",
+        "adaflo_tpu.drivers.spurious_currents",
+        "spurious_currents_pf_short.prm",
+        "spurious_currents_pf_short.output",
+    ),
+    (
+        "sim_rb",
+        "adaflo_tpu.drivers.sim_rising_bubble",
+        "sim_rising_bubble_short.prm",
+        "sim_rising_bubble_short.output",
+    ),
+    (
+        "sim_spurious",
+        "adaflo_tpu.drivers.sim_spurious_currents",
+        "sim_spurious_currents_short.prm",
+        "sim_spurious_currents_short.output",
+    ),
+    (
+        "simplex_channel",
+        "adaflo_tpu.drivers.simplex_channel",
+        "simplex_channel_small.prm",
+        "simplex_channel_small.output",
+    ),
+]
+
+SLOW_CASES = [
+    (
+        "spurious_ls_3d",
+        "adaflo_tpu.drivers.spurious_currents",
+        "spurious_currents_ls_3d_short.prm",
+        "spurious_currents_ls_3d_short.output",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "module,prm,golden",
+    [c[1:] for c in CASES],
+    ids=[c[0] for c in CASES],
+)
+def test_golden(module, prm, golden):
+    _run(module, prm, golden)
+
+
+@pytest.mark.skipif(SLOW, reason="slow tier (ADAFLO_RUN_SLOW)")
+@pytest.mark.parametrize(
+    "module,prm,golden",
+    [c[1:] for c in SLOW_CASES],
+    ids=[c[0] for c in SLOW_CASES],
+)
+def test_golden_slow(module, prm, golden):
+    _run(module, prm, golden)
