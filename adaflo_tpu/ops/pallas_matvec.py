@@ -50,15 +50,20 @@ def _tensor3(mz, my, mx):
 
 
 class MatvecTables(NamedTuple):
-    A_evg: np.ndarray  # (324, 89) values+physical gradients of u (p cols 0)
+    A_evg: np.ndarray  # (12G, 89) values+physical gradients of u (p cols 0)
     M_mass: np.ndarray  # (89, 89) sum_c V^T W V
     M_visc: np.ndarray  # (89, 89) symmetric-gradient stress
     M_gd: np.ndarray  # (89, 89) grad-div
     M_pdiv: np.ndarray  # (89, 89) -grad p test + (-div u) pressure row
-    A_ic: np.ndarray  # (89, 81) convective integration (V^T W per comp)
+    A_ic: np.ndarray  # (89, 3G) convective integration (V^T W per comp)
     n_u_loc: int
     n_p_loc: int
     n_q: int
+    # q-point row groups are padded from n_q to this stride so every in-kernel
+    # row slice starts on a multiple of the f32 sublane tile (8) — unaligned
+    # 27-row slices cost a Mosaic relayout per slice, which dominated the
+    # unpadded kernel
+    g: int
 
 
 def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
@@ -83,15 +88,16 @@ def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
     n_q = V3.shape[0]  # 27
     n_cols = 3 * n_u + n_p  # 89
     W = np.diag(jxw)
+    g = -(-n_q // 8) * 8  # aligned group stride (32 for n_q=27)
 
-    # evaluation: rows [per c: values, d/dx, d/dy, d/dz] (324 x 89)
-    A_evg = np.zeros((12 * n_q, n_cols))
+    # evaluation: rows [per c: values, d/dx, d/dy, d/dz] at stride g
+    A_evg = np.zeros((12 * g, n_cols))
     for c in range(3):
-        r0 = c * 4 * n_q
+        r0 = c * 4 * g
         c0 = c * n_u
         A_evg[r0 : r0 + n_q, c0 : c0 + n_u] = V3
         for d in range(3):
-            A_evg[r0 + (1 + d) * n_q : r0 + (2 + d) * n_q, c0 : c0 + n_u] = G[d]
+            A_evg[r0 + (1 + d) * g : r0 + (1 + d) * g + n_q, c0 : c0 + n_u] = G[d]
 
     # constant 89x89 linear-term matrices (combined per step with the traced
     # scalars rho_w / mu*tau1 / tau_grad_div — see combine_linear)
@@ -119,10 +125,10 @@ def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
         # pressure gradient: out_c = -G_c^T W Vp p
         M_pdiv[c0 : c0 + n_u, 3 * n_u :] = -G[c].T @ W @ Vp3
 
-    # convective integration: out_c = V^T W n_c
-    A_ic = np.zeros((n_cols, 3 * n_q))
+    # convective integration: out_c = V^T W n_c (n rows at stride g)
+    A_ic = np.zeros((n_cols, 3 * g))
     for c in range(3):
-        A_ic[c * n_u : (c + 1) * n_u, c * n_q : (c + 1) * n_q] = V3.T @ W
+        A_ic[c * n_u : (c + 1) * n_u, c * g : c * g + n_q] = V3.T @ W
 
     return MatvecTables(
         A_evg.astype(dtype),
@@ -134,6 +140,7 @@ def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
         n_u,
         n_p,
         n_q,
+        g,
     )
 
 
@@ -153,30 +160,47 @@ def combine_linear(tables: MatvecTables, scalars, dtype):
     return M89, A_ics, beta
 
 
-def qfields_t(lin) -> jnp.ndarray:
-    """(324, E) frozen-linearization stream in kernel row order
-    [per c: values, d/dx, d/dy, d/dz]: a pure relayout of the Linearized
-    val/grad fields already computed at Newton-step freeze time."""
+def qfields_t(lin, g: int | None = None) -> jnp.ndarray:
+    """(12g, E) frozen-linearization stream in kernel row order
+    [per c: values, d/dx, d/dy, d/dz], each group zero-padded from n_q to
+    the aligned stride g: a pure relayout of the Linearized val/grad fields
+    already computed at Newton-step freeze time.
+
+    In f32 deployment the stream is stored bf16: it is the dominant HBM
+    traffic of the apply (12g of 13g+2*89 rows) and only perturbs the frozen
+    Jacobian coefficients (consistently across Krylov iterations), not the
+    solution — the kernel upconverts after load."""
+    n_q = lin.val.shape[-1]
+    if g is None:
+        g = -(-n_q // 8) * 8
+    pad = ((0, 0), (0, g - n_q))
     parts = []
     for c in range(3):
-        parts.append(lin.val[:, c, :].T)
+        parts.append(jnp.pad(lin.val[:, c, :], pad).T)
         for d in range(3):
-            parts.append(lin.grad[:, c, d, :].T)
-    return jnp.concatenate(parts, axis=0)
+            parts.append(jnp.pad(lin.grad[:, c, d, :], pad).T)
+    out = jnp.concatenate(parts, axis=0)
+    if out.dtype == jnp.float32 and os.environ.get("ADAFLO_PALLAS_S_F32") != "1":
+        out = out.astype(jnp.bfloat16)
+    return out
 
 
-def _kernel(n_q, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref):
-    """One block of cells. x_ref (89, B); s_ref (324, B) linearization
-    q-fields; out_ref (89, B); n_ref (81, B) VMEM scratch for the
-    convective rows."""
+def _kernel(g, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref):
+    """One block of cells. x_ref (89, B); s_ref (12g, B) linearization
+    q-fields; out_ref (89, B); n_ref (3g, B) VMEM scratch for the
+    convective rows. All row groups sit at the aligned stride g, so every
+    slice below is sublane-aligned (no relayouts)."""
     beta = beta_ref[0]
     x = x_ref[:]
-    r = jnp.dot(Ae_ref[:], x, preferred_element_type=x.dtype)  # (324, B)
-    s = s_ref[:]
+    r = jnp.dot(Ae_ref[:], x, preferred_element_type=x.dtype)  # (12g, B)
+    # the frozen-linearization stream may ride HBM in bf16 (halves the
+    # dominant traffic; the Newton matrix is consistent either way since S
+    # is fixed per Newton step) — upconvert on the VPU after load
+    s = s_ref[:].astype(x.dtype)
 
     def rows(block, part, c):
-        i0 = c * 4 * n_q + part * n_q
-        return block[i0 : i0 + n_q]
+        i0 = (c * 4 + part) * g
+        return block[i0 : i0 + g]
 
     val_u = [rows(r, 0, c) for c in range(3)]
     g_u = [[rows(r, 1 + d, c) for d in range(3)] for c in range(3)]
@@ -193,7 +217,7 @@ def _kernel(n_q, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref):
         for e in range(3):
             # u*_e d_e du_c + du_e d_e u*_c (g[c][d] = d-th deriv of comp c)
             res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
-        n_ref[c * n_q : (c + 1) * n_q] = res
+        n_ref[c * g : (c + 1) * g] = res
     out_ref[:] = jnp.dot(
         M_ref[:], x, preferred_element_type=x.dtype
     ) + jnp.dot(Ai_ref[:], n_ref[:], preferred_element_type=x.dtype)
@@ -210,7 +234,7 @@ def coupled_vmult_cells(
     """Fused coupled cell apply in transposed (rows, cells) layout.
 
     x_t: (89, E) = [u0 u1 u2 (27 each), p (8)] rows per cell from
-    LatticeOps.gather_t; s_t: (324, E) from qfields_t (per-Newton-step
+    LatticeOps.gather_t; s_t: (12g, E) from qfields_t (per-Newton-step
     constant). scalars: (rho_w, tau1_rho, beta, mut, tgd) — exactly 5;
     damping is folded into rho_w by the callers. Returns (89, E)."""
     n_cols, E = x_t.shape
@@ -222,11 +246,11 @@ def coupled_vmult_cells(
     if E_pad != E:
         x_t = jnp.pad(x_t, ((0, 0), (0, E_pad - E)))
         s_t = jnp.pad(s_t, ((0, 0), (0, E_pad - E)))
-    n_q = tables.n_q
+    g = tables.g
     Ae = jnp.asarray(tables.A_evg, dtype)
     n_rows = Ae.shape[0]
     M89, A_ics, beta = combine_linear(tables, scalars, dtype)
-    kernel = functools.partial(_kernel, n_q)
+    kernel = functools.partial(_kernel, g)
     rep2 = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -237,7 +261,7 @@ def coupled_vmult_cells(
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             rep2((n_rows, n_cols)),
             rep2((n_cols, n_cols)),
-            rep2((n_cols, 3 * n_q)),
+            rep2((n_cols, 3 * g)),
             pl.BlockSpec((n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -245,7 +269,7 @@ def coupled_vmult_cells(
             (n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_cols, E_pad), dtype),
-        scratch_shapes=[pltpu.VMEM((3 * n_q, block), dtype)],
+        scratch_shapes=[pltpu.VMEM((3 * g, block), dtype)],
         interpret=interpret,
     )(beta[None], Ae, M89, A_ics, x_t, s_t)
     return out[:, :E]
