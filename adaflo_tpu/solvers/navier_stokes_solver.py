@@ -15,6 +15,7 @@ BDF weights are traced arguments, so kernels compile once per run).
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional
 
@@ -632,20 +633,43 @@ class NavierStokes(FlowBaseAlgorithm):
             ),
         }
         calls = max(self.statistics.counters["mat-vec"][0], 1)
+        # chain many applies inside ONE jit and force a scalar readback:
+        # dispatch overhead on tunneled TPU hosts is tens of ms per call and
+        # block_until_ready alone does not reliably wait (see bench.py)
+        chain = int(os.environ.get("ADAFLO_KERNEL_STAT_CHAIN", "20"))
         measured = {}
         for name, fn in kernels.items():
             try:
-                out = fn(u, p)  # compile
-                _jax.block_until_ready(out)
+
+                def chained(u0, p0, fn=fn):
+                    def body(i, carry):
+                        out = fn(carry[0], carry[1])
+                        o = out[0] if isinstance(out, tuple) else out
+                        s = 1.0 / jnp.maximum(
+                            jnp.sqrt(jnp.mean(o * o)), 1e-30
+                        )
+                        if isinstance(out, tuple):
+                            return (out[0] * s, out[1] * s)
+                        ou = out * s
+                        return (
+                            (ou, carry[1]) if ou.shape == carry[0].shape
+                            else (carry[0], ou)
+                        )
+
+                    ru, rp = _jax.lax.fori_loop(0, chain, body, (u0, p0))
+                    return jnp.sum(ru) + jnp.sum(rp)
+
+                cf = _jax.jit(chained)
+                float(cf(u, p))  # compile + warmup
                 best = float("inf")
                 for _ in range(reps):
                     t0 = _time.perf_counter()
-                    _jax.block_until_ready(fn(u, p))
+                    float(cf(u, p))
                     best = min(best, _time.perf_counter() - t0)
-                measured[name] = best
+                measured[name] = best / chain
                 rec = self.statistics.counters[name]
                 rec[0] = calls
-                rec[1] = best * calls
+                rec[1] = measured[name] * calls
             except Exception:
                 continue
         return measured

@@ -674,7 +674,7 @@ class NavierStokesPreconditioner:
 
         # pressure Poisson: rhs = -div(u*) with plain reads (cc:811-825)
         rhs_p = op.divergence_vmult_add(
-            jnp.zeros(op.p_space.n_dofs_padded), u_star, coeffs=st.coeffs, plain=True
+            jnp.zeros(op.n_p_padded), u_star, coeffs=st.coeffs, plain=True
         )
         # projection scheme: constant-coefficient Poisson with rho_min (the
         # reference's use_variable_coefficients excludes projection,
@@ -697,7 +697,7 @@ class NavierStokesPreconditioner:
 
         # rotational part: rhs = -mu div(u*); mass solve (cc:827-846)
         rhs_rot = op.divergence_vmult_add(
-            jnp.zeros(op.p_space.n_dofs_padded),
+            jnp.zeros(op.n_p_padded),
             u_star,
             weight_by_viscosity=True,
             coeffs=st.coeffs,

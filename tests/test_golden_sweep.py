@@ -45,6 +45,20 @@ CASES = [
         "beltrami_2d_proj_small.output",
     ),
     (
+        # projection scheme x augmented Taylor-Hood (beltrami_2d_augp_proj)
+        "beltrami_2d_augp_proj",
+        "adaflo_tpu.drivers.beltrami",
+        "beltrami_2d_augp_proj_small.prm",
+        "beltrami_2d_augp_proj_small.output",
+    ),
+    (
+        # 3D augmented Taylor-Hood (beltrami_3d_augp)
+        "beltrami_3d_augp",
+        "adaflo_tpu.drivers.beltrami",
+        "beltrami_3d_augp_small.prm",
+        "beltrami_3d_augp_small.output",
+    ),
+    (
         "rb_ls_picard",
         "adaflo_tpu.drivers.rising_bubble",
         "rising_bubble_ls_picard_short.prm",
