@@ -124,3 +124,113 @@ class MappedGMG(ForestGMG):
         self.levels = levels
         self.coarse_n = levels[-1].space.n_dofs
         self.direct_coarse = self.coarse_n <= max_coarse_dense
+
+
+def _extruded_transfer_maps(coarse, fine):
+    """(masters, weights) for extruded spaces: the tensor product of the
+    in-plane mapped transfer with exact 1D nodal interpolation on the
+    (uniformly refined) z-lattice."""
+    m2, w2 = _mapped_transfer_maps(coarse.base_space, fine.base_space)
+    m2 = np.asarray(m2)
+    w2 = np.asarray(w2)
+    k = fine.degree
+    n1 = k + 1
+    n2f = fine.base_space.n_dofs
+    n2c = coarse.base_space.n_dofs
+    nzf = fine.n_z_nodes
+
+    iz = np.arange(nzf)
+    kzf = np.minimum(iz // k, fine.mesh.n_slices - 1)
+    frac = fine.basis.nodes[iz - kzf * k]
+    kzc = kzf // 2
+    xi_z = ((kzf % 2) + frac) / 2.0
+    W1 = coarse.basis.tabulate(xi_z)[0]  # (nzf, n1)
+    mz = kzc[:, None] * k + np.arange(n1)[None, :]  # (nzf, n1) coarse z node
+
+    d = np.arange(fine.n_dofs)
+    di = d // n2f
+    d2 = d % n2f
+    masters = (
+        mz[di][:, :, None] * n2c + m2[d2][:, None, :]
+    ).reshape(fine.n_dofs, -1)
+    weights = (W1[di][:, :, None] * w2[d2][:, None, :]).reshape(
+        fine.n_dofs, -1
+    )
+    return jnp.asarray(masters), jnp.asarray(weights)
+
+
+class ExtrudedGMG(ForestGMG):
+    """V-cycle preconditioner on extruded prismatic-hex spaces: coarse
+    levels pair the base QuadMesh's refinement snapshots with halved
+    z-slices (refine_global on ExtrudedMesh does exactly the inverse), so
+    every level is itself an extruded mesh with the same curved base
+    manifold. The counterpart of the reference's ML-AMG on the extruded 3D
+    micro_particle triangulation (ns_prec.cc:465-562)."""
+
+    def __init__(
+        self,
+        space,
+        dirichlet_bids: Sequence[int],
+        n_dofs_padded: int,
+        pin_position: Optional[np.ndarray] = None,
+        smoother_degree: int = 3,
+        min_coarse_nodes: int = 700,
+        max_coarse_dense: int = 4096,
+        mapping_degree: int = 3,
+    ) -> None:
+        from adaflo_tpu.fe.extruded_space import ExtrudedSpace
+        from adaflo_tpu.mesh.extruded import ExtrudedMesh
+        from adaflo_tpu.ops.mapped import Extruded3DEvaluator
+
+        self.dim = space.dim
+        self.n_dofs_padded = n_dofs_padded
+        self.smoother_degree = smoother_degree
+
+        def level_mask(sp) -> np.ndarray:
+            dofs = [np.empty(0, dtype=np.int64)]
+            for bid in dirichlet_bids:
+                dofs.append(sp.boundary_dofs(bid))
+            if pin_position is not None:
+                d = np.linalg.norm(sp.node_coords - pin_position, axis=1)
+                dofs.append(np.array([int(np.argmin(d))], dtype=np.int64))
+            return np.unique(np.concatenate(dofs))
+
+        def make_level(sp) -> _FLevel:
+            mask = level_mask(sp)
+            con = Constraints(sp.n_dofs)
+            con.add_dirichlet(mask)
+            con.close()
+            ev = Extruded3DEvaluator(sp, sp.degree + 1)
+            return _FLevel(sp, con, ev, jnp.asarray(sp.cell_dofs), mask)
+
+        mesh = space.mesh
+        levels: List[_FLevel] = [make_level(space)]
+        base_history: List[QuadMesh] = list(reversed(mesh.base.history or []))
+        sp = space
+        n_slices = mesh.n_slices
+        for cmesh2 in base_history:
+            if sp.n_dofs <= min_coarse_nodes or n_slices % 2:
+                break
+            n_slices //= 2
+            cmesh = ExtrudedMesh(
+                cmesh2,
+                n_slices,
+                mesh.height,
+                z_boundary_id=mesh.z_boundary_id,
+                z0=mesh.z0,
+            )
+            cmap = CellMapping(cmesh2, degree=mapping_degree)
+            csp = ExtrudedSpace(cmesh, space.degree, cmap)
+            lev = levels[-1]
+            lev.t_masters, lev.t_weights = _extruded_transfer_maps(csp, sp)
+            E2f = sp.mesh.base.n_cells
+            E2c = cmesh2.n_cells
+            e = np.arange(sp.n_cells, dtype=np.int64)
+            lev.cell_parent = jnp.asarray(
+                (e // E2f // 2) * E2c + (e % E2f) // 4
+            )
+            levels.append(make_level(csp))
+            sp = csp
+        self.levels = levels
+        self.coarse_n = levels[-1].space.n_dofs
+        self.direct_coarse = self.coarse_n <= max_coarse_dense

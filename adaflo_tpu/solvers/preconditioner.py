@@ -183,13 +183,24 @@ class NavierStokesPreconditioner:
             # snapshot hierarchy the refinement recorded (the counterpart of
             # the reference's ML-AMG on merged/refined triangulations,
             # ns_prec.cc:465-562). Falls back to Chebyshev/Jacobi when the
-            # mesh has no refinement history (coarse-only runs).
-            from adaflo_tpu.solvers.mapped_multigrid import MappedGMG
+            # mesh has no refinement history (coarse-only runs). Extruded
+            # 3D meshes coarsen the curved base through its history and
+            # halve the z-slices (ExtrudedGMG).
+            from adaflo_tpu.solvers.mapped_multigrid import (
+                ExtrudedGMG,
+                MappedGMG,
+            )
 
             u_space = op.u_space
+            is_ext = getattr(u_space, "is_extruded", False)
+            if is_ext:
+                MappedGMG = ExtrudedGMG
+                hist = getattr(u_space.mesh.base, "history", None)
+            else:
+                hist = getattr(u_space.mesh, "history", None)
             # QuadMesh records refinement snapshots; simplex (TriMesh) and
             # snapshot-less meshes have no hierarchy -> Chebyshev/Jacobi
-            if not getattr(u_space.mesh, "history", None):
+            if not hist:
                 self.use_gmg = False
             if self.use_gmg:
                 dim = op.dim
