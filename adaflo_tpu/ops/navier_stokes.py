@@ -22,6 +22,7 @@ arguments so one compiled kernel serves the whole run.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -475,9 +476,9 @@ class NavierStokesOperator:
             # carry the linearization-point dofs for the fused Pallas mat-vec
             new_lin = new_lin._replace(dofs=uc)
             if self._pallas_tables is not None and new_lin.grad is not None:
-                from adaflo_tpu.ops.pallas_matvec import qfields_t
+                from adaflo_tpu.ops.pallas_matvec import stream_t
 
-                new_lin = new_lin._replace(qt=qfields_t(new_lin))
+                new_lin = new_lin._replace(qt=stream_t(new_lin))
 
         # stress is (E, comp, deriv, n_q): batch (E, comp), deriv axis at -2
         # exactly as integrate_gradients expects
@@ -511,46 +512,7 @@ class NavierStokesOperator:
             and coeffs.damping is None
         )
         if use_pallas:
-            from adaflo_tpu.ops.pallas_matvec import (
-                coupled_vmult_cells,
-                qfields_t,
-            )
-
-            par = self.parameters
-            # transposed-layout gather: (89, E) directly, no (E, 89) pass
-            u_res = [
-                self.constraints_u[c].resolve(du[c]) for c in range(3)
-            ]
-            p_res = self.constraints_p.resolve(dp)
-            x_t = jnp.concatenate(
-                [self.lat_u.gather_t(u_res[c]) for c in range(3)]
-                + [self.lat_p.gather_t(p_res)],
-                axis=0,
-            )
-            s_t = lin.qt if lin.qt is not None else qfields_t(lin)
-            scalars = (
-                tw.weight * par.density - par.damping,
-                tw.tau1 * par.density,
-                par.beta_convective_term_momentum_balance,
-                tw.tau1 * par.viscosity,
-                par.tau_grad_div,
-            )
-            out = coupled_vmult_cells(
-                x_t, s_t, self._pallas_tables, scalars,
-                interpret=self._pallas_interpret,
-            )
-            nl = self.u_space.n_local
-            ru = jnp.stack(
-                [
-                    self.constraints_u[c].condense(
-                        self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
-                    )
-                    for c in range(3)
-                ]
-            )
-            rp = self.constraints_p.condense(
-                self.lat_p.scatter_add_t(out[3 * nl :])
-            )
+            ru, rp = self._pallas_coupled_apply(du, dp, tw, lin)
         else:
             uc = self._gather_u(du, resolve=True)
             val_u = self.ev_u.values(uc)
@@ -571,6 +533,89 @@ class NavierStokesOperator:
         if len(cp):
             rp = rp.at[cp].set(-dp[cp])
         rp = self.apply_pressure_average_projection(rp)
+        return ru, rp
+
+    def _pallas_coupled_apply(self, du, dp, tw: TimeWeights, lin: Linearized):
+        """Shared fused-Pallas coupled apply for vmult / velocity_vmult
+        (dp=None streams a zero pressure block and returns rp=None).
+
+        ADAFLO_PALLAS_LAYOUT selects the HBM layout of the cell blocks:
+        "t" (default) = (89, E) via gather_t/scatter_add_t; "n" = (E, 89)
+        cell-major via gather/scatter_add — contiguous HBM tiles, with the
+        layout change absorbed by the kernel's dot_general contractions."""
+        from adaflo_tpu.ops.pallas_matvec import (
+            coupled_vmult_cells,
+            stream_t,
+        )
+
+        par = self.parameters
+        layout = os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
+        E = self.u_space.mesh.n_cells
+        u_res = [self.constraints_u[c].resolve(du[c]) for c in range(3)]
+        p_res = None if dp is None else self.constraints_p.resolve(dp)
+        nl = self.u_space.n_local
+        if layout == "n":
+            zp = jnp.zeros((E, self.p_space.n_local), du.dtype)
+            x = jnp.concatenate(
+                [self.lat_u.gather(u_res[c]) for c in range(3)]
+                + [zp if p_res is None else self.lat_p.gather(p_res)],
+                axis=1,
+            )
+        else:
+            zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
+            x = jnp.concatenate(
+                [self.lat_u.gather_t(u_res[c]) for c in range(3)]
+                + [zp if p_res is None else self.lat_p.gather_t(p_res)],
+                axis=0,
+            )
+        s_t = lin.qt if lin.qt is not None else stream_t(lin)
+        scalars = (
+            tw.weight * par.density - par.damping,
+            tw.tau1 * par.density,
+            par.beta_convective_term_momentum_balance,
+            tw.tau1 * par.viscosity,
+            par.tau_grad_div,
+        )
+        out = coupled_vmult_cells(
+            x,
+            s_t,
+            self._pallas_tables,
+            scalars,
+            interpret=self._pallas_interpret,
+            layout=layout,
+        )
+        if layout == "n":
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.scatter_add(out[:, c * nl : (c + 1) * nl])
+                    )
+                    for c in range(3)
+                ]
+            )
+            rp = (
+                None
+                if dp is None
+                else self.constraints_p.condense(
+                    self.lat_p.scatter_add(out[:, 3 * nl :])
+                )
+            )
+        else:
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
+                    )
+                    for c in range(3)
+                ]
+            )
+            rp = (
+                None
+                if dp is None
+                else self.constraints_p.condense(
+                    self.lat_p.scatter_add_t(out[3 * nl :])
+                )
+            )
         return ru, rp
 
     def local_velocity_apply(
@@ -611,42 +656,7 @@ class NavierStokesOperator:
         if use_pallas:
             # same fused kernel as the coupled vmult with zero pressure
             # input; the pressure output rows are discarded
-            from adaflo_tpu.ops.pallas_matvec import (
-                coupled_vmult_cells,
-                qfields_t,
-            )
-
-            par = self.parameters
-            E = self.u_space.mesh.n_cells
-            u_res = [
-                self.constraints_u[c].resolve(du[c]) for c in range(3)
-            ]
-            zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
-            x_t = jnp.concatenate(
-                [self.lat_u.gather_t(u_res[c]) for c in range(3)] + [zp],
-                axis=0,
-            )
-            s_t = lin.qt if lin.qt is not None else qfields_t(lin)
-            scalars = (
-                tw.weight * par.density - par.damping,
-                tw.tau1 * par.density,
-                par.beta_convective_term_momentum_balance,
-                tw.tau1 * par.viscosity,
-                par.tau_grad_div,
-            )
-            out = coupled_vmult_cells(
-                x_t, s_t, self._pallas_tables, scalars,
-                interpret=self._pallas_interpret,
-            )
-            nl = self.u_space.n_local
-            ru = jnp.stack(
-                [
-                    self.constraints_u[c].condense(
-                        self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
-                    )
-                    for c in range(3)
-                ]
-            )
+            ru, _ = self._pallas_coupled_apply(du, None, tw, lin)
         else:
             uc = self._gather_u(du, resolve=True)
             r_u = self.local_velocity_apply(uc, tw, lin, coeffs)

@@ -185,14 +185,113 @@ def qfields_t(lin, g: int | None = None) -> jnp.ndarray:
     return out
 
 
-def _kernel(g, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref):
-    """One block of cells. x_ref (89, B); s_ref (12g, B) linearization
-    q-fields; out_ref (89, B); n_ref (3g, B) VMEM scratch for the
-    convective rows. All row groups sit at the aligned stride g, so every
-    slice below is sublane-aligned (no relayouts)."""
+def qdofs_t(lin, dtype=None) -> jnp.ndarray:
+    """(3 n_u, E) frozen-linearization *dof* stream: the cell-local dofs of
+    u* in kernel column order [c0 | c1 | c2]. The ADAFLO_PALLAS_STREAM=dofs
+    alternative to qfields_t: stream 81 rows/cell instead of 12g=384 and
+    re-evaluate the q-point fields on the MXU inside the kernel (one extra
+    (12g, 3 n_u) matmul against A_evg's velocity columns). Cuts the dominant
+    HBM traffic of the apply ~4.7x at the cost of MXU work that overlaps the
+    streaming. bf16 on the f32 path (same frozen-Jacobian argument as
+    qfields_t)."""
+    E, dim, n_u = lin.dofs.shape
+    out = jnp.transpose(lin.dofs, (1, 2, 0)).reshape(dim * n_u, E)
+    if dtype is not None:
+        out = out.astype(dtype)
+    elif out.dtype == jnp.float32 and os.environ.get("ADAFLO_PALLAS_S_F32") != "1":
+        out = out.astype(jnp.bfloat16)
+    return out
+
+
+def stream_t(lin) -> jnp.ndarray:
+    """The per-Newton-step kernel stream, by ADAFLO_PALLAS_STREAM:
+    'dofs' (default) = qdofs_t, 'qfields' = qfields_t."""
+    if os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") == "dofs" and (
+        lin.dofs is not None
+    ):
+        return qdofs_t(lin)
+    return qfields_t(lin)
+
+
+def _kernel_su(
+    g,
+    natural,
+    beta_ref,
+    Ae_ref,
+    Aev_ref,
+    M_ref,
+    Ai_ref,
+    x_ref,
+    su_ref,
+    out_ref,
+    n_ref,
+):
+    """Dof-stream variant of _kernel: su_ref (3 n_u, B) holds the frozen
+    linearization dofs; the q-point fields are re-evaluated in-register via
+    Aev_ref (12g, 3 n_u) — same row layout as the streamed s of _kernel.
+
+    natural=True selects the (B, 89) cell-major x/out layout: the HBM tiles
+    are then contiguous (no XLA transpose passes around the kernel) and the
+    MXU absorbs the layout difference through dot_general dimension numbers
+    — the VPU work stays in the q-rows-on-sublanes orientation either way."""
     beta = beta_ref[0]
     x = x_ref[:]
-    r = jnp.dot(Ae_ref[:], x, preferred_element_type=x.dtype)  # (12g, B)
+    pt = dict(preferred_element_type=x.dtype)
+    # r = A_evg @ x^T when natural (contract x's dof axis 1), else A_evg @ x
+    cdim = ((1,), (1,)) if natural else ((1,), (0,))
+    r = jax.lax.dot_general(
+        Ae_ref[:], x, dimension_numbers=(cdim, ((), ())), **pt
+    )  # (12g, B)
+    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)  # (12g, B)
+
+    def rows(block, part, c):
+        i0 = (c * 4 + part) * g
+        return block[i0 : i0 + g]
+
+    val_u = [rows(r, 0, c) for c in range(3)]
+    g_u = [[rows(r, 1 + d, c) for d in range(3)] for c in range(3)]
+    val_s = [rows(s, 0, c) for c in range(3)]
+    g_s = [[rows(s, 1 + d, c) for d in range(3)] for c in range(3)]
+
+    div = g_u[0][0] + g_u[1][1] + g_u[2][2]
+    div_s = g_s[0][0] + g_s[1][1] + g_s[2][2]
+
+    for c in range(3):
+        res = beta * (div * val_s[c] + div_s * val_u[c])
+        for e in range(3):
+            res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
+        n_ref[c * g : (c + 1) * g] = res
+    if natural:
+        # out^T = x @ M^T + n^T @ A_ic^T, both directly in (B, 89)
+        out_ref[:] = jax.lax.dot_general(
+            x, M_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), **pt
+        ) + jax.lax.dot_general(
+            n_ref[:],
+            Ai_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            **pt,
+        )
+    else:
+        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
+            Ai_ref[:], n_ref[:], **pt
+        )
+
+
+def _kernel(
+    g, natural, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref
+):
+    """One block of cells. x_ref (89, B) — or (B, 89) when natural, see
+    _kernel_su; s_ref (12g, B) linearization q-fields; out_ref like x_ref;
+    n_ref (3g, B) VMEM scratch for the convective rows. All row groups sit
+    at the aligned stride g, so every slice below is sublane-aligned (no
+    relayouts)."""
+    beta = beta_ref[0]
+    x = x_ref[:]
+    pt = dict(preferred_element_type=x.dtype)
+    cdim = ((1,), (1,)) if natural else ((1,), (0,))
+    r = jax.lax.dot_general(
+        Ae_ref[:], x, dimension_numbers=(cdim, ((), ())), **pt
+    )  # (12g, B)
     # the frozen-linearization stream may ride HBM in bf16 (halves the
     # dominant traffic; the Newton matrix is consistent either way since S
     # is fixed per Newton step) — upconvert on the VPU after load
@@ -218,9 +317,19 @@ def _kernel(g, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref):
             # u*_e d_e du_c + du_e d_e u*_c (g[c][d] = d-th deriv of comp c)
             res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
         n_ref[c * g : (c + 1) * g] = res
-    out_ref[:] = jnp.dot(
-        M_ref[:], x, preferred_element_type=x.dtype
-    ) + jnp.dot(Ai_ref[:], n_ref[:], preferred_element_type=x.dtype)
+    if natural:
+        out_ref[:] = jax.lax.dot_general(
+            x, M_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), **pt
+        ) + jax.lax.dot_general(
+            n_ref[:],
+            Ai_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            **pt,
+        )
+    else:
+        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
+            Ai_ref[:], n_ref[:], **pt
+        )
 
 
 def coupled_vmult_cells(
@@ -230,46 +339,79 @@ def coupled_vmult_cells(
     scalars,
     block: int | None = None,
     interpret: bool = False,
+    layout: str = "t",
 ):
-    """Fused coupled cell apply in transposed (rows, cells) layout.
+    """Fused coupled cell apply.
 
-    x_t: (89, E) = [u0 u1 u2 (27 each), p (8)] rows per cell from
-    LatticeOps.gather_t; s_t: (12g, E) from qfields_t (per-Newton-step
-    constant). scalars: (rho_w, tau1_rho, beta, mut, tgd) — exactly 5;
-    damping is folded into rho_w by the callers. Returns (89, E)."""
-    n_cols, E = x_t.shape
+    layout="t" (transposed): x_t (89, E) = [u0 u1 u2 (27 each), p (8)] rows
+    per cell from LatticeOps.gather_t, returns (89, E). layout="n"
+    (natural): x_t (E, 89) cell-major from LatticeOps.gather — the HBM
+    tiles are contiguous and the in-kernel dots contract on the dof axis
+    instead, returns (E, 89). s_t: (12g, E) from qfields_t (per-Newton-step
+    constant) — or (3 n_u, E) from qdofs_t, selecting the dof-stream kernel
+    that re-evaluates the q-fields in-register (the mode is inferred from
+    the row count); the stream is transposed-layout in both modes.
+    scalars: (rho_w, tau1_rho, beta, mut, tgd) — exactly 5; damping is
+    folded into rho_w by the callers."""
+    natural = layout == "n"
+    if natural:
+        E, n_cols = x_t.shape
+    else:
+        n_cols, E = x_t.shape
     dtype = x_t.dtype
     if block is None:
         block = int(os.environ.get("ADAFLO_PALLAS_BLOCK", "1024"))
     block = min(block, max(128, -(-E // 128) * 128))
     E_pad = -(-E // block) * block
     if E_pad != E:
-        x_t = jnp.pad(x_t, ((0, 0), (0, E_pad - E)))
+        xpad = ((0, E_pad - E), (0, 0)) if natural else ((0, 0), (0, E_pad - E))
+        x_t = jnp.pad(x_t, xpad)
         s_t = jnp.pad(s_t, ((0, 0), (0, E_pad - E)))
     g = tables.g
     Ae = jnp.asarray(tables.A_evg, dtype)
     n_rows = Ae.shape[0]
+    n_su = 3 * tables.n_u_loc
+    dof_stream = s_t.shape[0] == n_su
     M89, A_ics, beta = combine_linear(tables, scalars, dtype)
-    kernel = functools.partial(_kernel, g)
     rep2 = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        rep2((n_rows, n_cols)),
+    ]
+    consts = [beta[None], Ae]
+    if dof_stream:
+        # evaluation matrix for the streamed dofs, in the stream's dtype so
+        # the MXU runs the re-evaluation at bf16 rate on the f32 path
+        consts.append(jnp.asarray(tables.A_evg[:, :n_su], s_t.dtype))
+        in_specs.append(rep2((n_rows, n_su)))
+        kernel = functools.partial(_kernel_su, g, natural)
+    else:
+        kernel = functools.partial(_kernel, g, natural)
+    xspec = (
+        pl.BlockSpec((block, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if natural
+        else pl.BlockSpec(
+            (n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    )
+    in_specs += [
+        rep2((n_cols, n_cols)),
+        rep2((n_cols, 3 * g)),
+        xspec,
+        pl.BlockSpec(
+            (s_t.shape[0], block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = (E_pad, n_cols) if natural else (n_cols, E_pad)
     out = pl.pallas_call(
         kernel,
         grid=(E_pad // block,),
-        in_specs=[
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            rep2((n_rows, n_cols)),
-            rep2((n_cols, n_cols)),
-            rep2((n_cols, 3 * g)),
-            pl.BlockSpec((n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_cols, E_pad), dtype),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
         scratch_shapes=[pltpu.VMEM((3 * g, block), dtype)],
         interpret=interpret,
-    )(beta[None], Ae, M89, A_ics, x_t, s_t)
-    return out[:, :E]
+    )(*consts, M89, A_ics, x_t, s_t)
+    return out[:E] if natural else out[:, :E]

@@ -112,11 +112,17 @@ end
     E = u_space.mesh.n_cells
     n_q = op.ev_u.n_q
     # the frozen-linearization stream rides HBM in bf16 on the f32 path
-    # (pallas_matvec.qfields_t)
+    # (pallas_matvec.stream_t)
     lin_itemsize = 2 if dtype_name == "float32" else itemsize
-    # values (3) + gradients (9) per q point; u* divergence derives from the
-    # gradients in-kernel, so it is not streamed
-    lin_bytes = E * n_q * (3 + 9) * lin_itemsize
+    stream_mode = os.environ.get("ADAFLO_PALLAS_STREAM", "dofs")
+    if stream_mode == "dofs":
+        # dof stream: 3 components x n_loc_u cell-local dofs of u*, with the
+        # q-point fields re-evaluated on the MXU inside the kernel
+        lin_bytes = E * 3 * op.u_space.n_local * lin_itemsize
+    else:
+        # q-field stream: values (3) + gradients (9) per q point; the u*
+        # divergence derives from the gradients in-kernel
+        lin_bytes = E * n_q * (3 + 9) * lin_itemsize
     vec_bytes = 2 * n_dofs * itemsize  # read + write
     bytes_min = vec_bytes + lin_bytes
     eff_gbps = bytes_min * reps / dt / 1e9
@@ -162,6 +168,8 @@ end
         "hbm_peak_gbps_assumed": hbm_peak_gbps,
         "hbm_gbps_achievable_measured": achievable_gbps,
         "pct_of_achievable": 100.0 * eff_gbps / achievable_gbps,
+        "pallas_stream": stream_mode,
+        "pallas_layout": os.environ.get("ADAFLO_PALLAS_LAYOUT", "t"),
     }
 
     # -- wall time per rising_bubble_ls timestep (BASELINE.json metric) ----

@@ -46,10 +46,14 @@ end
     return par, us, ps, cu, cp
 
 
-def test_pallas_coupled_vmult_matches_einsum(monkeypatch):
+@pytest.mark.parametrize("layout", ["t", "n"])
+@pytest.mark.parametrize("stream", ["qfields", "dofs"])
+def test_pallas_coupled_vmult_matches_einsum(monkeypatch, layout, stream):
     import jax
 
     par, us, ps, cu, cp = _make_op()
+    monkeypatch.setenv("ADAFLO_PALLAS_LAYOUT", layout)
+    monkeypatch.setenv("ADAFLO_PALLAS_STREAM", stream)
     monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "1")
     op_pl = NavierStokesOperator(par, us, ps, cu, cp)
     assert op_pl._pallas_tables is not None
