@@ -191,8 +191,8 @@ class NavierStokesOperator:
         eligible = (
             not self.is_forest
             and not getattr(mesh, "is_graded", False)
-            and self.dim == 3
-            and parameters.velocity_degree == 2
+            and self.dim in (2, 3)
+            and parameters.velocity_degree in (2, 3)
             and not self.augmented
             and parameters.linearization
             == Linearization.coupled_implicit_newton
@@ -551,20 +551,22 @@ class NavierStokesOperator:
         par = self.parameters
         layout = os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
         E = self.u_space.mesh.n_cells
-        u_res = [self.constraints_u[c].resolve(du[c]) for c in range(3)]
+        u_res = [
+            self.constraints_u[c].resolve(du[c]) for c in range(self.dim)
+        ]
         p_res = None if dp is None else self.constraints_p.resolve(dp)
         nl = self.u_space.n_local
         if layout == "n":
             zp = jnp.zeros((E, self.p_space.n_local), du.dtype)
             x = jnp.concatenate(
-                [self.lat_u.gather(u_res[c]) for c in range(3)]
+                [self.lat_u.gather(u_res[c]) for c in range(self.dim)]
                 + [zp if p_res is None else self.lat_p.gather(p_res)],
                 axis=1,
             )
         else:
             zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
             x = jnp.concatenate(
-                [self.lat_u.gather_t(u_res[c]) for c in range(3)]
+                [self.lat_u.gather_t(u_res[c]) for c in range(self.dim)]
                 + [zp if p_res is None else self.lat_p.gather_t(p_res)],
                 axis=0,
             )
@@ -590,14 +592,14 @@ class NavierStokesOperator:
                     self.constraints_u[c].condense(
                         self.lat_u.scatter_add(out[:, c * nl : (c + 1) * nl])
                     )
-                    for c in range(3)
+                    for c in range(self.dim)
                 ]
             )
             rp = (
                 None
                 if dp is None
                 else self.constraints_p.condense(
-                    self.lat_p.scatter_add(out[:, 3 * nl :])
+                    self.lat_p.scatter_add(out[:, self.dim * nl :])
                 )
             )
         else:
@@ -606,14 +608,14 @@ class NavierStokesOperator:
                     self.constraints_u[c].condense(
                         self.lat_u.scatter_add_t(out[c * nl : (c + 1) * nl])
                     )
-                    for c in range(3)
+                    for c in range(self.dim)
                 ]
             )
             rp = (
                 None
                 if dp is None
                 else self.constraints_p.condense(
-                    self.lat_p.scatter_add_t(out[3 * nl :])
+                    self.lat_p.scatter_add_t(out[self.dim * nl :])
                 )
             )
         return ru, rp

@@ -41,15 +41,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tensor3(mz, my, mx):
-    """(az ay ax, iz iy ix) tensor-product matrix, x fastest."""
-    return np.einsum("ai,bj,ck->abcijk", mz, my, mx).reshape(
-        mz.shape[0] * my.shape[0] * mx.shape[0],
-        mz.shape[1] * my.shape[1] * mx.shape[1],
-    )
+def _tensor_nd(mats):
+    """Tensor-product matrix of per-axis 1D matrices (z..x order, x
+    fastest)."""
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.einsum("ai,bj->abij", out, m).reshape(
+            out.shape[0] * m.shape[0], out.shape[1] * m.shape[1]
+        )
+    return out
 
 
 class MatvecTables(NamedTuple):
+    # Shapes quoted for the 3D Q2/Q1 flagship set (n_cols = 3*27+8 = 89);
+    # the builder is dim- and degree-generic (2D Q2/Q1: n_cols = 22,
+    # 3D Q3/Q2: n_cols = 219).
     A_evg: np.ndarray  # (12G, 89) values+physical gradients of u (p cols 0)
     M_mass: np.ndarray  # (89, 89) sum_c V^T W V
     M_visc: np.ndarray  # (89, 89) symmetric-gradient stress
@@ -64,54 +70,62 @@ class MatvecTables(NamedTuple):
     # 27-row slices cost a Mosaic relayout per slice, which dominated the
     # unpadded kernel
     g: int
+    dim: int
 
 
 def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
     """Constant matrices from the (uniform-geometry) evaluators of the NS
-    operator; Q2 velocity (n1=3), Q1 pressure (n1=2), 3-point Gauss."""
+    operator. Dim- and degree-generic: Qk velocity / Q(k-1) pressure with
+    (k+1)-point Gauss per axis."""
     Vu = np.asarray(ev_u.V, np.float64)
     Du = np.asarray(ev_u.D, np.float64)
     Vp = np.asarray(ev_p.V, np.float64)
     inv_h = np.asarray(ev_u.h, np.float64) ** -1
     jxw = np.asarray(ev_u.jxw, np.float64)
+    dim = len(inv_h)
 
-    V3 = _tensor3(Vu, Vu, Vu)  # (27, 27)
+    Vq = _tensor_nd([Vu] * dim)
+    # G[a] = physical derivative along axis a (a = 0 is x, matching the
+    # evaluator's gradient component order)
     G = [
-        _tensor3(Vu, Vu, Du) * inv_h[0],
-        _tensor3(Vu, Du, Vu) * inv_h[1],
-        _tensor3(Du, Vu, Vu) * inv_h[2],
+        _tensor_nd([Du if dim - 1 - ax == a else Vu for ax in range(dim)])
+        * inv_h[a]
+        for a in range(dim)
     ]
-    Vp3 = _tensor3(Vp, Vp, Vp)  # (27, 8)
+    Vpq = _tensor_nd([Vp] * dim)
 
-    n_u = V3.shape[1]  # 27
-    n_p = Vp3.shape[1]  # 8
-    n_q = V3.shape[0]  # 27
-    n_cols = 3 * n_u + n_p  # 89
+    n_u = Vq.shape[1]
+    n_p = Vpq.shape[1]
+    n_q = Vq.shape[0]
+    n_cols = dim * n_u + n_p
     W = np.diag(jxw)
     g = -(-n_q // 8) * 8  # aligned group stride (32 for n_q=27)
+    parts = dim + 1  # values + dim derivatives per component
 
-    # evaluation: rows [per c: values, d/dx, d/dy, d/dz] at stride g
-    A_evg = np.zeros((12 * g, n_cols))
-    for c in range(3):
-        r0 = c * 4 * g
+    # evaluation: rows [per c: values, d/dx, d/dy(, d/dz)] at stride g
+    A_evg = np.zeros((dim * parts * g, n_cols))
+    for c in range(dim):
+        r0 = c * parts * g
         c0 = c * n_u
-        A_evg[r0 : r0 + n_q, c0 : c0 + n_u] = V3
-        for d in range(3):
+        A_evg[r0 : r0 + n_q, c0 : c0 + n_u] = Vq
+        for d in range(dim):
             A_evg[r0 + (1 + d) * g : r0 + (1 + d) * g + n_q, c0 : c0 + n_u] = G[d]
 
-    # constant 89x89 linear-term matrices (combined per step with the traced
+    # constant linear-term matrices (combined per step with the traced
     # scalars rho_w / mu*tau1 / tau_grad_div — see combine_linear)
     M_mass = np.zeros((n_cols, n_cols))
     M_visc = np.zeros((n_cols, n_cols))
     M_gd = np.zeros((n_cols, n_cols))
     M_pdiv = np.zeros((n_cols, n_cols))
-    VtWV = V3.T @ W @ V3
-    GtWG = [[G[a].T @ W @ G[b] for b in range(3)] for a in range(3)]
-    sum_GtWG = GtWG[0][0] + GtWG[1][1] + GtWG[2][2]
-    for c in range(3):
+    VtWV = Vq.T @ W @ Vq
+    GtWG = [[G[a].T @ W @ G[b] for b in range(dim)] for a in range(dim)]
+    sum_GtWG = GtWG[0][0]
+    for a in range(1, dim):
+        sum_GtWG = sum_GtWG + GtWG[a][a]
+    for c in range(dim):
         c0 = c * n_u
         M_mass[c0 : c0 + n_u, c0 : c0 + n_u] = VtWV
-        for e in range(3):
+        for e in range(dim):
             e0 = e * n_u
             # viscous: out_c = sum_d G_d^T W (G_d u_c + G_c u_d)
             blk = GtWG[e][c]
@@ -121,14 +135,14 @@ def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
             # grad-div: out_c = G_c^T W sum_e G_e u_e
             M_gd[c0 : c0 + n_u, e0 : e0 + n_u] = GtWG[c][e]  # G_c^T W G_e
             # divergence row: out_p = -Vp^T W sum_e G_e u_e
-        M_pdiv[3 * n_u :, c0 : c0 + n_u] = -Vp3.T @ W @ G[c]
+        M_pdiv[dim * n_u :, c0 : c0 + n_u] = -Vpq.T @ W @ G[c]
         # pressure gradient: out_c = -G_c^T W Vp p
-        M_pdiv[c0 : c0 + n_u, 3 * n_u :] = -G[c].T @ W @ Vp3
+        M_pdiv[c0 : c0 + n_u, dim * n_u :] = -G[c].T @ W @ Vpq
 
     # convective integration: out_c = V^T W n_c (n rows at stride g)
-    A_ic = np.zeros((n_cols, 3 * g))
-    for c in range(3):
-        A_ic[c * n_u : (c + 1) * n_u, c * g : c * g + n_q] = V3.T @ W
+    A_ic = np.zeros((n_cols, dim * g))
+    for c in range(dim):
+        A_ic[c * n_u : (c + 1) * n_u, c * g : c * g + n_q] = Vq.T @ W
 
     return MatvecTables(
         A_evg.astype(dtype),
@@ -141,6 +155,7 @@ def build_tables(ev_u, ev_p, dtype=np.float64) -> MatvecTables:
         n_p,
         n_q,
         g,
+        dim,
     )
 
 
@@ -171,13 +186,14 @@ def qfields_t(lin, g: int | None = None) -> jnp.ndarray:
     Jacobian coefficients (consistently across Krylov iterations), not the
     solution — the kernel upconverts after load."""
     n_q = lin.val.shape[-1]
+    dim = lin.val.shape[1]
     if g is None:
         g = -(-n_q // 8) * 8
     pad = ((0, 0), (0, g - n_q))
     parts = []
-    for c in range(3):
+    for c in range(dim):
         parts.append(jnp.pad(lin.val[:, c, :], pad).T)
-        for d in range(3):
+        for d in range(dim):
             parts.append(jnp.pad(lin.grad[:, c, d, :], pad).T)
     out = jnp.concatenate(parts, axis=0)
     if out.dtype == jnp.float32 and os.environ.get("ADAFLO_PALLAS_S_F32") != "1":
@@ -215,6 +231,7 @@ def stream_t(lin) -> jnp.ndarray:
 
 def _kernel_su(
     g,
+    dim,
     natural,
     beta_ref,
     Ae_ref,
@@ -226,14 +243,16 @@ def _kernel_su(
     out_ref,
     n_ref,
 ):
-    """Dof-stream variant of _kernel: su_ref (3 n_u, B) holds the frozen
+    """Dof-stream variant of _kernel: su_ref (dim n_u, B) holds the frozen
     linearization dofs; the q-point fields are re-evaluated in-register via
-    Aev_ref (12g, 3 n_u) — same row layout as the streamed s of _kernel.
+    Aev_ref (dim(dim+1)g, dim n_u) — same row layout as the streamed s of
+    _kernel.
 
-    natural=True selects the (B, 89) cell-major x/out layout: the HBM tiles
-    are then contiguous (no XLA transpose passes around the kernel) and the
-    MXU absorbs the layout difference through dot_general dimension numbers
-    — the VPU work stays in the q-rows-on-sublanes orientation either way."""
+    natural=True selects the (B, n_cols) cell-major x/out layout: the HBM
+    tiles are then contiguous (no XLA transpose passes around the kernel)
+    and the MXU absorbs the layout difference through dot_general dimension
+    numbers — the VPU work stays in the q-rows-on-sublanes orientation
+    either way."""
     beta = beta_ref[0]
     x = x_ref[:]
     pt = dict(preferred_element_type=x.dtype)
@@ -241,24 +260,29 @@ def _kernel_su(
     cdim = ((1,), (1,)) if natural else ((1,), (0,))
     r = jax.lax.dot_general(
         Ae_ref[:], x, dimension_numbers=(cdim, ((), ())), **pt
-    )  # (12g, B)
-    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)  # (12g, B)
+    )  # (dim(dim+1)g, B)
+    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
+
+    parts = dim + 1
 
     def rows(block, part, c):
-        i0 = (c * 4 + part) * g
+        i0 = (c * parts + part) * g
         return block[i0 : i0 + g]
 
-    val_u = [rows(r, 0, c) for c in range(3)]
-    g_u = [[rows(r, 1 + d, c) for d in range(3)] for c in range(3)]
-    val_s = [rows(s, 0, c) for c in range(3)]
-    g_s = [[rows(s, 1 + d, c) for d in range(3)] for c in range(3)]
+    val_u = [rows(r, 0, c) for c in range(dim)]
+    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
+    val_s = [rows(s, 0, c) for c in range(dim)]
+    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
 
-    div = g_u[0][0] + g_u[1][1] + g_u[2][2]
-    div_s = g_s[0][0] + g_s[1][1] + g_s[2][2]
+    div = g_u[0][0]
+    div_s = g_s[0][0]
+    for a in range(1, dim):
+        div = div + g_u[a][a]
+        div_s = div_s + g_s[a][a]
 
-    for c in range(3):
+    for c in range(dim):
         res = beta * (div * val_s[c] + div_s * val_u[c])
-        for e in range(3):
+        for e in range(dim):
             res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
         n_ref[c * g : (c + 1) * g] = res
     if natural:
@@ -278,42 +302,57 @@ def _kernel_su(
 
 
 def _kernel(
-    g, natural, beta_ref, Ae_ref, M_ref, Ai_ref, x_ref, s_ref, out_ref, n_ref
+    g,
+    dim,
+    natural,
+    beta_ref,
+    Ae_ref,
+    M_ref,
+    Ai_ref,
+    x_ref,
+    s_ref,
+    out_ref,
+    n_ref,
 ):
-    """One block of cells. x_ref (89, B) — or (B, 89) when natural, see
-    _kernel_su; s_ref (12g, B) linearization q-fields; out_ref like x_ref;
-    n_ref (3g, B) VMEM scratch for the convective rows. All row groups sit
-    at the aligned stride g, so every slice below is sublane-aligned (no
-    relayouts)."""
+    """One block of cells. x_ref (n_cols, B) — or (B, n_cols) when natural,
+    see _kernel_su; s_ref (dim(dim+1)g, B) linearization q-fields; out_ref
+    like x_ref; n_ref (dim g, B) VMEM scratch for the convective rows. All
+    row groups sit at the aligned stride g, so every slice below is
+    sublane-aligned (no relayouts)."""
     beta = beta_ref[0]
     x = x_ref[:]
     pt = dict(preferred_element_type=x.dtype)
     cdim = ((1,), (1,)) if natural else ((1,), (0,))
     r = jax.lax.dot_general(
         Ae_ref[:], x, dimension_numbers=(cdim, ((), ())), **pt
-    )  # (12g, B)
+    )  # (dim(dim+1)g, B)
     # the frozen-linearization stream may ride HBM in bf16 (halves the
     # dominant traffic; the Newton matrix is consistent either way since S
     # is fixed per Newton step) — upconvert on the VPU after load
     s = s_ref[:].astype(x.dtype)
 
+    parts = dim + 1
+
     def rows(block, part, c):
-        i0 = (c * 4 + part) * g
+        i0 = (c * parts + part) * g
         return block[i0 : i0 + g]
 
-    val_u = [rows(r, 0, c) for c in range(3)]
-    g_u = [[rows(r, 1 + d, c) for d in range(3)] for c in range(3)]
-    val_s = [rows(s, 0, c) for c in range(3)]
-    g_s = [[rows(s, 1 + d, c) for d in range(3)] for c in range(3)]
+    val_u = [rows(r, 0, c) for c in range(dim)]
+    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
+    val_s = [rows(s, 0, c) for c in range(dim)]
+    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
 
-    div = g_u[0][0] + g_u[1][1] + g_u[2][2]
-    div_s = g_s[0][0] + g_s[1][1] + g_s[2][2]
+    div = g_u[0][0]
+    div_s = g_s[0][0]
+    for a in range(1, dim):
+        div = div + g_u[a][a]
+        div_s = div_s + g_s[a][a]
 
-    for c in range(3):
+    for c in range(dim):
         # Newton convective linearization (nsm.cc:802-826); the mass /
         # stress / pressure / divergence terms all live in M_ref
         res = beta * (div * val_s[c] + div_s * val_u[c])
-        for e in range(3):
+        for e in range(dim):
             # u*_e d_e du_c + du_e d_e u*_c (g[c][d] = d-th deriv of comp c)
             res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
         n_ref[c * g : (c + 1) * g] = res
@@ -370,7 +409,8 @@ def coupled_vmult_cells(
     g = tables.g
     Ae = jnp.asarray(tables.A_evg, dtype)
     n_rows = Ae.shape[0]
-    n_su = 3 * tables.n_u_loc
+    dim = tables.dim
+    n_su = dim * tables.n_u_loc
     dof_stream = s_t.shape[0] == n_su
     M89, A_ics, beta = combine_linear(tables, scalars, dtype)
     rep2 = lambda shape: pl.BlockSpec(
@@ -386,9 +426,9 @@ def coupled_vmult_cells(
         # the MXU runs the re-evaluation at bf16 rate on the f32 path
         consts.append(jnp.asarray(tables.A_evg[:, :n_su], s_t.dtype))
         in_specs.append(rep2((n_rows, n_su)))
-        kernel = functools.partial(_kernel_su, g, natural)
+        kernel = functools.partial(_kernel_su, g, dim, natural)
     else:
-        kernel = functools.partial(_kernel, g, natural)
+        kernel = functools.partial(_kernel, g, dim, natural)
     xspec = (
         pl.BlockSpec((block, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         if natural
@@ -398,7 +438,7 @@ def coupled_vmult_cells(
     )
     in_specs += [
         rep2((n_cols, n_cols)),
-        rep2((n_cols, 3 * g)),
+        rep2((n_cols, dim * g)),
         xspec,
         pl.BlockSpec(
             (s_t.shape[0], block), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -411,7 +451,7 @@ def coupled_vmult_cells(
         in_specs=in_specs,
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
-        scratch_shapes=[pltpu.VMEM((3 * g, block), dtype)],
+        scratch_shapes=[pltpu.VMEM((dim * g, block), dtype)],
         interpret=interpret,
     )(*consts, M89, A_ics, x_t, s_t)
     return out[:E] if natural else out[:, :E]

@@ -22,22 +22,23 @@ from adaflo_tpu.ops.navier_stokes import (
 from adaflo_tpu.parameters import FlowParameters
 
 
-def _make_op():
-    import jax
-
+def _make_op(dim=3, degree=2):
     par = FlowParameters.from_string(
-        """
+        f"""
 subsection Navier-Stokes
-  set dimension = 3
-  set velocity degree = 2
+  set dimension = {dim}
+  set velocity degree = {degree}
   set viscosity = 0.05
 end
 """
     )
-    mesh = StructuredMesh((3, 4, 2), (0.0, 0.0, 0.0), (1.0, 1.3, 0.7))
-    us, ps = ScalarSpace(mesh, 2), ScalarSpace(mesh, 1)
+    if dim == 3:
+        mesh = StructuredMesh((3, 4, 2), (0.0, 0.0, 0.0), (1.0, 1.3, 0.7))
+    else:
+        mesh = StructuredMesh((4, 3), (0.0, 0.0), (1.0, 1.3))
+    us, ps = ScalarSpace(mesh, degree), ScalarSpace(mesh, degree - 1)
     cu = []
-    for _ in range(3):
+    for _ in range(dim):
         c = Constraints(us.n_dofs)
         c.close()
         cu.append(c)
@@ -46,12 +47,15 @@ end
     return par, us, ps, cu, cp
 
 
+@pytest.mark.parametrize("dim,degree", [(3, 2), (2, 2), (3, 3)])
 @pytest.mark.parametrize("layout", ["t", "n"])
 @pytest.mark.parametrize("stream", ["qfields", "dofs"])
-def test_pallas_coupled_vmult_matches_einsum(monkeypatch, layout, stream):
+def test_pallas_coupled_vmult_matches_einsum(
+    monkeypatch, layout, stream, dim, degree
+):
     import jax
 
-    par, us, ps, cu, cp = _make_op()
+    par, us, ps, cu, cp = _make_op(dim, degree)
     monkeypatch.setenv("ADAFLO_PALLAS_LAYOUT", layout)
     monkeypatch.setenv("ADAFLO_PALLAS_STREAM", stream)
     monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "1")
@@ -63,7 +67,7 @@ def test_pallas_coupled_vmult_matches_einsum(monkeypatch, layout, stream):
 
     tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
     key = jax.random.PRNGKey(3)
-    u = jax.random.normal(key, (3, us.n_dofs))
+    u = jax.random.normal(key, (dim, us.n_dofs))
     p = jax.random.normal(key, (ps.n_dofs,))
     ld = op_ref._gather_u(u, resolve=False)
     lv = op_ref.ev_u.values(ld)
