@@ -702,7 +702,9 @@ class NavierStokes(FlowBaseAlgorithm):
         )
         self.system_rhs = [ru, rp]
         self._last_lin = lin
-        res_u, res_p = float(res_u), float(res_p)
+        # one coalesced device->host round trip (the tunnel pays per
+        # blocking readback, not per value)
+        res_u, res_p = (float(v) for v in jax.device_get((res_u, res_p)))
         res = float(np.sqrt(res_u**2 + res_p**2))
         v = par.output_verbosity
         if v == 1:
@@ -778,6 +780,7 @@ class NavierStokes(FlowBaseAlgorithm):
             # (the reference passes solution_old.block(1) as the projection
             # update buffer, navier_stokes.cc:563-565)
             self.solution_old[1] = phi
+            iters, res = jax.device_get((iters, res))
             return int(iters), float(res)
         tol = jnp.float64(linear_tolerance)
         cheap_iters = min(par.iterations_before_inner_solvers, par.max_lin_iteration)
@@ -786,6 +789,7 @@ class NavierStokes(FlowBaseAlgorithm):
             rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, False,
             cheap_iters, u_robust,
         )
+        it1, res1, conv = jax.device_get((it1, res1, conv))
         iters = int(it1)
         residual = float(res1)
         if not bool(conv):
@@ -801,6 +805,7 @@ class NavierStokes(FlowBaseAlgorithm):
                 rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, True,
                 stage2, u_robust,
             )
+            it2, res2 = jax.device_get((it2, res2))
             iters += int(it2)
             residual = float(res2)
         self.solution_update[0] = du
@@ -876,8 +881,15 @@ class NavierStokes(FlowBaseAlgorithm):
                 )
                 self._p(f"    {norm:<5.2e}     {iters:4d}       {lin_res:<5.2e}")
             elif v == 3:
-                iu = float(jnp.sqrt(jnp.sum(self.solution_update[0] ** 2)))
-                ip = float(jnp.sqrt(jnp.sum(self.solution_update[1] ** 2)))
+                iu, ip = (
+                    float(x)
+                    for x in jax.device_get(
+                        (
+                            jnp.sqrt(jnp.sum(self.solution_update[0] ** 2)),
+                            jnp.sqrt(jnp.sum(self.solution_update[1] ** 2)),
+                        )
+                    )
+                )
                 self._p(
                     f"    {iu:<5.2e}   {ip:<5.2e}    {iters:4d}       {lin_res:<5.2e}"
                 )

@@ -45,6 +45,9 @@ class TwoPhaseBaseAlgorithm:
         self.global_omega_diameter = 0.0
         self.last_refine_step = 0
         self.refine_lower_level_limit = 0
+        # jitted single-readback diagnostics (built lazily on first use)
+        self._maxvel_fn = None
+        self._crange_fn = None
 
     # -- BC setter API delegated to the NS solver (the reference inherits
     # FlowBaseAlgorithm on both; here the descriptor lives on the NS solver)
@@ -317,10 +320,21 @@ class TwoPhaseBaseAlgorithm:
         ev = CellEvaluator(
             self.mesh.dim, ns.u_space.basis, (pts, np.zeros_like(pts)), self._unit_h()
         )
-        u = np.asarray(ns.solution[0])
-        cells = jnp.asarray(np.transpose(u[:, ns.u_space.cell_dofs], (1, 0, 2)))
-        vals = np.asarray(ev.values(cells))
-        return float(np.sqrt((vals**2).sum(axis=1)).max())
+        # fully on-device: gather, evaluate, reduce — ONE scalar readback
+        # (the previous host pull of the full velocity vector cost a
+        # multi-MB device->host transfer per step through the TPU tunnel)
+        cd = jnp.asarray(ns.u_space.cell_dofs)
+
+        def _maxvel(u):
+            cells = jnp.transpose(u[:, cd], (1, 0, 2))
+            vals = ev.values(cells)
+            return jnp.sqrt((vals**2).sum(axis=1)).max()
+
+        if self._maxvel_fn is None:
+            import jax
+
+            self._maxvel_fn = jax.jit(_maxvel)
+        return float(self._maxvel_fn(ns.solution[0]))
 
     def get_concentration_range(self) -> tuple[float, float]:
         """Range over an equidistant lattice (two_phase_base.cc:513-545)."""
@@ -331,9 +345,20 @@ class TwoPhaseBaseAlgorithm:
             (pts, np.zeros_like(pts)),
             self._unit_h(),
         )
-        c = np.asarray(self.solution[0])
-        vals = np.asarray(ev.values(jnp.asarray(c[self.ls_space.cell_dofs])))
-        self.last_concentration_range = (float(vals.min()), float(vals.max()))
+        cd = jnp.asarray(self.ls_space.cell_dofs)
+
+        def _crange(c):
+            vals = ev.values(c[cd])
+            return vals.min(), vals.max()
+
+        if self._crange_fn is None:
+            import jax
+
+            self._crange_fn = jax.jit(_crange)
+        import jax
+
+        lo, hi = jax.device_get(self._crange_fn(self.solution[0]))
+        self.last_concentration_range = (float(lo), float(hi))
         return self.last_concentration_range
 
     def set_adaptive_time_step(self, norm_velocity: float) -> None:

@@ -235,6 +235,9 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         inc = self.constraints_ls.distribute(inc)
         self.solution[0] = self.solution[0] + inc
         if not self.parameters.do_iteration and self.parameters.output_verbosity > 0:
+            import jax
+
+            rhs_norm, iters = jax.device_get((rhs_norm, iters))
             self._p(
                 f"  Concentration advance: advect [{fmtg3(float(rhs_norm))}"
                 f"/{int(iters)}]",
@@ -298,7 +301,10 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             )
             self.evaluated_normal_q = en
             self.solution[0] = c_new
+            import jax
+
             if verbose:
+                iters, update_norm = jax.device_get((iters, update_norm))
                 tag = f"d{int(iters)}" if diffuse_only else f"{int(iters)}"
                 self._p(("" if first else " + ") + tag, end="")
             first = False
