@@ -331,7 +331,6 @@ class NavierStokes(FlowBaseAlgorithm):
         op = self.operator
         par = self.parameters
 
-        @jax.jit
         def residual_fn(u, p, u_old, u_old_old, tw, const_u, const_p,
                         user_u, user_p, coeffs, ex):
             au, ap, lin = op.residual_assemble(
@@ -344,11 +343,14 @@ class NavierStokes(FlowBaseAlgorithm):
             res_p = jnp.sqrt(jnp.sum(rp * rp))
             return ru, rp, lin, res_u, res_p
 
-        self._residual_fn = residual_fn
+        self._residual_fn = jax.jit(residual_fn)
 
         prec = self.preconditioner
 
-        def solve_fn(rhs_u, rhs_p, tw, state, lin, tol, do_inner, max_iter, u_robust):
+        def solve_fn(
+            rhs_u, rhs_p, sol_u, sol_p, tw, state, lin, tol, do_inner,
+            max_iter, u_robust,
+        ):
             # the system matrix linearizes around the CURRENT iterate (lin,
             # refreshed by every residual evaluation) while the
             # preconditioner keeps its frozen copy in `state` — exactly the
@@ -362,10 +364,48 @@ class NavierStokes(FlowBaseAlgorithm):
             for c in range(self.dim):
                 du = du.at[c].set(self.constraints_u[c].distribute(du[c]))
             dp = self.constraints_p.distribute(dp)
-            return du, dp, res.iterations, res.residual, res.converged
+            # fold the Newton update into the same dispatch (one host
+            # round trip less per iteration)
+            return (
+                du,
+                dp,
+                sol_u + du,
+                sol_p + dp,
+                res.iterations,
+                res.residual,
+                res.converged,
+            )
 
         self._solve_fn = jax.jit(
             solve_fn, static_argnames=("do_inner", "max_iter", "u_robust")
+        )
+
+        def solve_res_fn(
+            rhs_u, rhs_p, sol_u, sol_p, u_old, u_old_old, tw, state, lin,
+            tol, const_u, const_p, user_u, user_p, coeffs, ex, do_inner,
+            max_iter, u_robust,
+        ):
+            """Fused Newton iteration: linear solve + solution update + the
+            fresh nonlinear residual at the new iterate — ONE dispatch and
+            one coalesced readback per Newton step instead of two (the
+            host<->device round trip dominates small problems)."""
+            du, dp, u_new, p_new, it, lr, conv = solve_fn(
+                rhs_u, rhs_p, sol_u, sol_p, tw, state, lin, tol, do_inner,
+                max_iter, u_robust,
+            )
+            ru, rp, lin2, res_u, res_p = residual_fn(
+                u_new, p_new, u_old, u_old_old, tw, const_u, const_p,
+                user_u, user_p, coeffs, ex,
+            )
+            upd_u = jnp.sqrt(jnp.sum(du * du))
+            upd_p = jnp.sqrt(jnp.sum(dp * dp))
+            return (
+                du, dp, u_new, p_new, ru, rp, lin2,
+                it, lr, conv, res_u, res_p, upd_u, upd_p,
+            )
+
+        self._solve_res_fn = jax.jit(
+            solve_res_fn, static_argnames=("do_inner", "max_iter", "u_robust")
         )
 
         @jax.jit
@@ -432,18 +472,20 @@ class NavierStokes(FlowBaseAlgorithm):
         bd = self.boundary
         time = self.time_stepping.now()
         u_space = self.u_space
-        u = np.asarray(self.solution[0]).copy()
-
+        # write boundary values in place on the device: only the (small)
+        # boundary-dof arrays cross the host boundary, not the full vector
+        u = self.solution[0]
         for bid, fn in bd.dirichlet_conditions_u.items():
             dofs = u_space.boundary_dofs(bid)
             if len(dofs) == 0:
                 continue
             vals = np.asarray(fn(u_space.node_coords[dofs], time))
-            u[:, dofs] = vals
+            u = u.at[:, jnp.asarray(dofs)].set(jnp.asarray(vals))
         for bid in bd.no_slip:
             dofs = u_space.boundary_dofs(bid)
-            u[:, dofs] = 0.0
-        self.solution[0] = jnp.asarray(u)
+            if len(dofs):
+                u = u.at[:, jnp.asarray(dofs)].set(0.0)
+        self.solution[0] = u
 
         # symmetry/normal-flux dofs that are not covered by a Dirichlet
         # function must read zero in the constrained component
@@ -683,23 +725,28 @@ class NavierStokes(FlowBaseAlgorithm):
             return (0, 0)
 
     # ------------------------------------------------------------------
-    def compute_residual(self) -> float:
+    def compute_residual(self, precomputed=None) -> float:
         par = self.parameters
-        ex = self.time_stepping.extrapolation_factors
-        tw = TimeWeights.from_time_stepping(self.time_stepping)
-        ru, rp, lin, res_u, res_p = self._residual_fn(
-            self.solution[0],
-            self.solution[1],
-            self.solution_old[0],
-            self.solution_old_old[0],
-            tw,
-            self.const_rhs[0],
-            self.const_rhs[1],
-            self.user_rhs[0],
-            self.user_rhs[1],
-            self.coefficients,
-            (jnp.float64(ex[0]), jnp.float64(ex[1])),
-        )
+        if precomputed is not None:
+            # a caller (e.g. the fused two-phase force+residual dispatch)
+            # already ran _residual_fn; keep the bookkeeping and printing
+            ru, rp, lin, res_u, res_p = precomputed
+        else:
+            ex = self.time_stepping.extrapolation_factors
+            tw = TimeWeights.from_time_stepping(self.time_stepping)
+            ru, rp, lin, res_u, res_p = self._residual_fn(
+                self.solution[0],
+                self.solution[1],
+                self.solution_old[0],
+                self.solution_old_old[0],
+                tw,
+                self.const_rhs[0],
+                self.const_rhs[1],
+                self.user_rhs[0],
+                self.user_rhs[1],
+                self.coefficients,
+                (jnp.float64(ex[0]), jnp.float64(ex[1])),
+            )
         self.system_rhs = [ru, rp]
         self._last_lin = lin
         # one coalesced device->host round trip (the tunnel pays per
@@ -715,7 +762,7 @@ class NavierStokes(FlowBaseAlgorithm):
             self._p(f"   {res_u:<11.3e} {res_p:<12.3e} ", end="")
         return res
 
-    def compute_initial_residual(self) -> float:
+    def compute_initial_residual(self, precomputed=None) -> float:
         v = self.parameters.output_verbosity
         if v == 1:
             self._p("  Residual/iterations: ", end="")
@@ -731,7 +778,7 @@ class NavierStokes(FlowBaseAlgorithm):
                 "\n   _______________________________________________________________"
                 "___________________"
             )
-        return self.compute_residual()
+        return self.compute_residual(precomputed)
 
     # ------------------------------------------------------------------
     def build_preconditioner(self) -> None:
@@ -760,16 +807,21 @@ class NavierStokes(FlowBaseAlgorithm):
         elif v >= 2:
             self._p(f"    {label}   ", end="")
 
-    def solve_system(self, linear_tolerance: float):
+    def solve_system(self, linear_tolerance: float, with_residual: bool = False):
         """Two-stage linear solve (navier_stokes.cc:559-653): cheap
         preconditioner first, then inner solves under FGMRES. The projection
-        scheme dispatches to the fractional-step solve (cc:563-565)."""
+        scheme dispatches to the fractional-step solve (cc:563-565).
+
+        `with_residual` fuses the post-update nonlinear residual into the
+        same dispatch (consumed via compute_residual(precomputed=...))."""
         import time as _time
 
         _t0 = _time.perf_counter()
         par = self.parameters
         tw = TimeWeights.from_time_stepping(self.time_stepping)
         rhs_u, rhs_p = self.system_rhs
+        self._solved_residual = None
+        self._solved_upd_norms = None
         if par.linearization == Linearization.projection:
             du, dp, phi, iters, res = self._solve_projection_fn(
                 rhs_u, self.solution[0], tw, self._prec_state, self._last_lin
@@ -780,36 +832,57 @@ class NavierStokes(FlowBaseAlgorithm):
             # (the reference passes solution_old.block(1) as the projection
             # update buffer, navier_stokes.cc:563-565)
             self.solution_old[1] = phi
+            self._solved_solution = None
             iters, res = jax.device_get((iters, res))
             return int(iters), float(res)
         tol = jnp.float64(linear_tolerance)
         cheap_iters = min(par.iterations_before_inner_solvers, par.max_lin_iteration)
         u_robust = getattr(self, "_u_robust", False)
-        du, dp, it1, res1, conv = self._solve_fn(
-            rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, False,
-            cheap_iters, u_robust,
-        )
-        it1, res1, conv = jax.device_get((it1, res1, conv))
-        iters = int(it1)
-        residual = float(res1)
-        if not bool(conv):
+        stage2 = max(
+            par.max_lin_iteration - par.iterations_before_inner_solvers, 0
+        ) or par.max_lin_iteration
+
+        def _stage(do_inner, max_iter):
+            if with_residual:
+                ex = self.time_stepping.extrapolation_factors
+                (du, dp, u_new, p_new, ru, rp, lin2, it, lr, conv, res_u,
+                 res_p, upd_u, upd_p) = self._solve_res_fn(
+                    rhs_u, rhs_p, self.solution[0], self.solution[1],
+                    self.solution_old[0], self.solution_old_old[0], tw,
+                    self._prec_state, self._last_lin, tol,
+                    self.const_rhs[0], self.const_rhs[1],
+                    self.user_rhs[0], self.user_rhs[1], self.coefficients,
+                    (jnp.float64(ex[0]), jnp.float64(ex[1])),
+                    do_inner, max_iter, u_robust,
+                )
+                it, lr, conv, res_u, res_p, upd_u, upd_p = jax.device_get(
+                    (it, lr, conv, res_u, res_p, upd_u, upd_p)
+                )
+                self._solved_residual = (
+                    ru, rp, lin2, float(res_u), float(res_p)
+                )
+                self._solved_upd_norms = (float(upd_u), float(upd_p))
+            else:
+                du, dp, u_new, p_new, it, lr, conv = self._solve_fn(
+                    rhs_u, rhs_p, self.solution[0], self.solution[1], tw,
+                    self._prec_state, self._last_lin, tol, do_inner,
+                    max_iter, u_robust,
+                )
+                it, lr, conv = jax.device_get((it, lr, conv))
+            return du, dp, u_new, p_new, int(it), float(lr), bool(conv)
+
+        du, dp, u_new, p_new, iters, residual, conv = _stage(False, cheap_iters)
+        if not conv:
             # second stage with inner solves (navier_stokes.cc:588-641). The
             # reference enters it after `iterations_before_inner_solvers`;
             # when the config leaves no room for it (its relies on ILU
             # strength we replace matrix-free), retry with inner solves for
             # the full budget — our analog of that ILU robustness.
-            stage2 = max(
-                par.max_lin_iteration - par.iterations_before_inner_solvers, 0
-            ) or par.max_lin_iteration
-            du, dp, it2, res2, conv = self._solve_fn(
-                rhs_u, rhs_p, tw, self._prec_state, self._last_lin, tol, True,
-                stage2, u_robust,
-            )
-            it2, res2 = jax.device_get((it2, res2))
-            iters += int(it2)
-            residual = float(res2)
+            du, dp, u_new, p_new, it2, residual, conv = _stage(True, stage2)
+            iters += it2
         self.solution_update[0] = du
         self.solution_update[1] = dp
+        self._solved_solution = (u_new, p_new)
         self.statistics.add("lin solver", _time.perf_counter() - _t0)
         self.statistics.add("mat-vec", 0.0, max(iters, 1))
         return iters, residual
@@ -864,32 +937,47 @@ class NavierStokes(FlowBaseAlgorithm):
             elif par.output_verbosity >= 2:
                 self._p("    ---    ", end="")
 
-            iters, lin_res = self.solve_system(linear_tolerance)
-            self.solution[0] = self.solution[0] + self.solution_update[0]
-            self.solution[1] = self.solution[1] + self.solution_update[1]
+            iters, lin_res = self.solve_system(
+                linear_tolerance, with_residual=coupled
+            )
+            solved = getattr(self, "_solved_solution", None)
+            if solved is not None:
+                # standard path: the update was added in-solve
+                self.solution[0], self.solution[1] = solved
+                self._solved_solution = None
+            else:
+                self.solution[0] = self.solution[0] + self.solution_update[0]
+                self.solution[1] = self.solution[1] + self.solution_update[1]
             n_tot_iterations += iters
 
             v = par.output_verbosity
+            upd_norms = getattr(self, "_solved_upd_norms", None)
             if v == 1:
                 self._p(f"/{iters}] ", end="")
             elif v == 2:
-                norm = float(
-                    jnp.sqrt(
-                        jnp.sum(self.solution_update[0] ** 2)
-                        + jnp.sum(self.solution_update[1] ** 2)
-                    )
-                )
-                self._p(f"    {norm:<5.2e}     {iters:4d}       {lin_res:<5.2e}")
-            elif v == 3:
-                iu, ip = (
-                    float(x)
-                    for x in jax.device_get(
-                        (
-                            jnp.sqrt(jnp.sum(self.solution_update[0] ** 2)),
-                            jnp.sqrt(jnp.sum(self.solution_update[1] ** 2)),
+                if upd_norms is not None:
+                    norm = float(np.sqrt(upd_norms[0] ** 2 + upd_norms[1] ** 2))
+                else:
+                    norm = float(
+                        jnp.sqrt(
+                            jnp.sum(self.solution_update[0] ** 2)
+                            + jnp.sum(self.solution_update[1] ** 2)
                         )
                     )
-                )
+                self._p(f"    {norm:<5.2e}     {iters:4d}       {lin_res:<5.2e}")
+            elif v == 3:
+                if upd_norms is not None:
+                    iu, ip = upd_norms
+                else:
+                    iu, ip = (
+                        float(x)
+                        for x in jax.device_get(
+                            (
+                                jnp.sqrt(jnp.sum(self.solution_update[0] ** 2)),
+                                jnp.sqrt(jnp.sum(self.solution_update[1] ** 2)),
+                            )
+                        )
+                    )
                 self._p(
                     f"    {iu:<5.2e}   {ip:<5.2e}    {iters:4d}       {lin_res:<5.2e}"
                 )
@@ -902,7 +990,10 @@ class NavierStokes(FlowBaseAlgorithm):
                     self._p("")
                 break
 
-            res = self.compute_residual()
+            res = self.compute_residual(
+                precomputed=getattr(self, "_solved_residual", None)
+            )
+            self._solved_residual = None
             if res < par.tol_nl_iteration:
                 if v == 1:
                     self._p("/conv.]")

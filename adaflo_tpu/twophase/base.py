@@ -48,6 +48,7 @@ class TwoPhaseBaseAlgorithm:
         # jitted single-readback diagnostics (built lazily on first use)
         self._maxvel_fn = None
         self._crange_fn = None
+        self._ls_extrapolate_fn = None
 
     # -- BC setter API delegated to the NS solver (the reference inherits
     # FlowBaseAlgorithm on both; here the descriptor lives on the NS solver)
@@ -285,8 +286,16 @@ class TwoPhaseBaseAlgorithm:
         k, ko = ts.step_size(), ts.old_step_size()
         sol, old = self.solution, self.solution_old
         if ko > 0:
+            if self._ls_extrapolate_fn is None:
+                import jax
+
+                self._ls_extrapolate_fn = jax.jit(
+                    lambda s, o, a, b: [a * si + b * oi for si, oi in zip(s, o)]
+                )
             a, b = (k + ko) / ko, -k / ko
-            upd = [a * s + b * o for s, o in zip(sol, old)]
+            upd = self._ls_extrapolate_fn(
+                sol, old, jnp.float64(a), jnp.float64(b)
+            )
         else:
             upd = list(sol)
         self.solution_old_old = list(old)

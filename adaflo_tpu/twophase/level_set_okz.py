@@ -177,6 +177,56 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             reinit_step, static_argnames=("first_step", "diffuse_only")
         )
 
+        def advect_reinit_fn(
+            c,
+            c_old,
+            c_old_old,
+            u,
+            u_old,
+            u_old_old,
+            nv,
+            en,
+            tw,
+            abs_tol,
+            dtau_inv,
+            actual_diff,
+            stab_steps,
+        ):
+            """Fused concentration advance + reinitialization: ONE dispatch
+            for what used to be ~5 (advect, normal, 2-3 reinit steps), with
+            the reinit early-break reproduced by masking (a converged chain
+            leaves c/nv/en untouched and marks trailing steps invalid). The
+            per-step (iterations, update-norm, valid) history comes back for
+            the verbose log, so the printed output is identical."""
+            inc, a_iters, rhs_norm = advect_fn(
+                c, c_old, c_old_old, u, u_old, u_old_old, tw, True, abs_tol
+            )
+            c = c + self.constraints_ls.distribute(inc)
+            n = actual_diff + stab_steps
+            done = jnp.bool_(False)
+            hist_it, hist_valid = [], []
+            for tau in range(n):
+                if tau == actual_diff:
+                    nv_new, _ = normal_fn(c, nv, jnp.float64(1e-5))
+                    nv = jnp.where(done, nv, nv_new)
+                c_new, en_new, it, un = reinit_step(
+                    c, nv, tau == actual_diff, en, dtau_inv, tau < actual_diff
+                )
+                c = jnp.where(done, c, c_new)
+                en = jnp.where(done, en, en_new)
+                hist_it.append(it)
+                hist_valid.append(~done)
+                done = done | (un < 1e-6)
+            hist_it = jnp.stack(hist_it) if n else jnp.zeros(0, jnp.int32)
+            hist_valid = (
+                jnp.stack(hist_valid) if n else jnp.zeros(0, jnp.bool_)
+            )
+            return c, nv, en, a_iters, rhs_norm, hist_it, hist_valid
+
+        self._advect_reinit_fn = jax.jit(
+            advect_reinit_fn, static_argnames=("actual_diff", "stab_steps")
+        )
+
         @jax.jit
         def force_fn(heaviside, curvature):
             return ops.compute_force(heaviside, curvature)
@@ -203,6 +253,46 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             return _discrete_heaviside(distance)
 
         self._heaviside_fn = heaviside_fn
+
+        def force_residual_fn(
+            c, nv, sol_u, sol_p, old_u, oldold_u, tw, cr_u, cr_p, user_p, ex01
+        ):
+            """Fused compute_force + NS residual: normal, curvature (with
+            correction), heaviside, surface-tension force, constraint
+            condense and the NS residual evaluation in ONE dispatch (was 5+
+            round trips). Returns everything the host bookkeeping needs."""
+            ns = self.navier_stokes
+            nv2, _ = normal_fn(c, nv, jnp.float64(1e-7))
+            kappa, _ = curvature_fn(nv2)
+            if par.curvature_correction:
+                kappa = self._curvature_correction(kappa, c)
+            h = heaviside_fn(c)
+            user_u, rho_q, mu_q = force_fn(h, kappa)
+            for comp in range(dim):
+                user_u = user_u.at[comp].set(
+                    ns.constraints_u[comp].condense(user_u[comp])
+                )
+            coeffs = (
+                Coefficients(rho_q, mu_q, None)
+                if rho_q is not None
+                else ns.coefficients
+            )
+            ru, rp, lin, res_u, res_p = ns._residual_fn(
+                sol_u,
+                sol_p,
+                old_u,
+                oldold_u,
+                tw,
+                cr_u,
+                cr_p,
+                user_u,
+                user_p,
+                coeffs,
+                ex01,
+            )
+            return nv2, kappa, h, user_u, coeffs, ru, rp, lin, res_u, res_p
+
+        self._force_residual_fn = jax.jit(force_residual_fn)
 
     # -- operations ------------------------------------------------------
     def advance_concentration(self) -> None:
@@ -258,10 +348,11 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             kappa = self._curvature_correction(kappa)
         self.solution[1] = kappa
 
-    def _curvature_correction(self, kappa):
+    def _curvature_correction(self, kappa, c=None):
         """kappa -> 1/(1/kappa + d/(dim-1)) away from the interface
         (curv.cc:361-377)."""
-        c = self.solution[0]
+        if c is None:
+            c = self.solution[0]
         eps = self.epsilon_used
         c2 = 1 - c * c
         distance = jnp.where(c2 > 1e-2, eps * jnp.log((1 + c) / jnp.maximum(1 - c, 1e-30)), 0.0)
@@ -331,15 +422,106 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             ns.coefficients = Coefficients(rho_q, mu_q, None)
 
     # ------------------------------------------------------------------
+    def _advance_concentration_and_reinit(self) -> None:
+        """Fused advance_concentration + reinitialize(n_reinit_steps): one
+        device dispatch (and zero readbacks at verbosity 0) instead of ~5
+        round trips — the host-side tunnel latency dominates small steps."""
+        par = self.parameters
+        ns = self.navier_stokes
+        ts = self.time_stepping
+        if self.boundary.fluid_type:
+            # inflow Dirichlet values need host evaluation; rare path —
+            # fall back to the unfused sequence
+            self.advance_concentration()
+            self.reinitialize(par.n_reinit_steps)
+            return
+        tw = TimeWeights.from_time_stepping(ts)
+        abs_tol = jnp.float64(0.05 * par.tol_nl_iteration)
+        sub = par.concentration_subdivisions
+        dtau_inv = max(
+            0.95 / ((1.0 / (self.mesh.dim**2)) * self.minimal_edge_length / sub),
+            1.0 / (5.0 * ts.step_size()),
+        )
+        lo, hi = self.last_concentration_range
+        actual_diff = 3 if (lo < -1.02 or hi > 1.02) else 0
+        c, nv, en, a_iters, rhs_norm, hist_it, hist_valid = (
+            self._advect_reinit_fn(
+                self.solution[0],
+                self.solution_old[0],
+                self.solution_old_old[0],
+                ns.solution[0],
+                ns.solution_old[0],
+                ns.solution_old_old[0],
+                self.normal_vector_field,
+                self.evaluated_normal_q,
+                tw,
+                abs_tol,
+                jnp.float64(dtau_inv),
+                actual_diff,
+                par.n_reinit_steps,
+            )
+        )
+        self.solution[0] = c
+        self.normal_vector_field = nv
+        self.evaluated_normal_q = en
+        if not par.do_iteration and par.output_verbosity > 0:
+            import jax
+
+            a_iters, rhs_norm, hist_it, hist_valid = jax.device_get(
+                (a_iters, rhs_norm, hist_it, hist_valid)
+            )
+            self._p(
+                f"  Concentration advance: advect [{fmtg3(float(rhs_norm))}"
+                f"/{int(a_iters)}]",
+                end="",
+            )
+            lead = "  " if ts.now() == ts.start() else " and "
+            self._p(f"{lead}reinitialize (", end="")
+            tags = []
+            for tau in range(len(hist_it)):
+                if not bool(hist_valid[tau]):
+                    break
+                prefix = "d" if tau < actual_diff else ""
+                tags.append(f"{prefix}{int(hist_it[tau])}")
+            self._p(" + ".join(tags), end="")
+            self._p(")")
+
+    def _fused_force_and_initial_residual(self) -> float:
+        """compute_force + compute_initial_residual as one dispatch."""
+        ns = self.navier_stokes
+        tw = TimeWeights.from_time_stepping(self.time_stepping)
+        ex = self.time_stepping.extrapolation_factors
+        nv, kappa, h, user_u, coeffs, ru, rp, lin, res_u, res_p = (
+            self._force_residual_fn(
+                self.solution[0],
+                self.normal_vector_field,
+                ns.solution[0],
+                ns.solution[1],
+                ns.solution_old[0],
+                ns.solution_old_old[0],
+                tw,
+                ns.const_rhs[0],
+                ns.const_rhs[1],
+                ns.user_rhs[1],
+                (jnp.float64(ex[0]), jnp.float64(ex[1])),
+            )
+        )
+        self.normal_vector_field = nv
+        self.solution[1] = kappa
+        self.heaviside = h
+        ns.user_rhs[0] = user_u
+        ns.coefficients = coeffs
+        return ns.compute_initial_residual(
+            precomputed=(ru, rp, lin, res_u, res_p)
+        )
+
     def advance_time_step(self):
         """One two-phase step (level_set_base.cc:188-291)."""
         self.init_time_advance()
-        self.advance_concentration()
-        self.reinitialize(self.parameters.n_reinit_steps)
-        self.compute_force()
+        self._advance_concentration_and_reinit()
 
         ns = self.navier_stokes
-        actual_res = ns.compute_initial_residual()
+        actual_res = self._fused_force_and_initial_residual()
         ts = self.time_stepping
         if (
             ts.step_no() > 3 + self.last_smoothing_step
