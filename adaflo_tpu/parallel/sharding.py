@@ -96,3 +96,55 @@ def shard_solver_state(
     elif isinstance(op.lat_u, IndexMapOps):
         op.lat_u.cd = _put(op.lat_u.cd, cells)
         op.lat_p.cd = _put(op.lat_p.cd, cells)
+
+
+def shard_two_phase_state(
+    tp, mesh: Mesh, axis_name: str = "cells", explicit_halo: bool = True
+) -> None:
+    """Shard a two-phase (level-set) solver over the device mesh: the inner
+    NavierStokes state plus the concentration/curvature vectors, normal
+    field, heaviside, projection diagonals and the level-set operators'
+    gather/scatter maps. The fused per-step dispatches (advect+reinit,
+    force+residual, Newton solve) then partition over the same `cells` axis
+    — the TPU analog of the reference's fully distributed two-phase step
+    (every concentration cell_loop crosses the MPI boundary,
+    level_set_okz_advance_concentration.cc:288-397)."""
+    shard_solver_state(tp.navier_stokes, mesh, axis_name, explicit_halo)
+    vec = NamedSharding(mesh, P(axis_name))
+    vec_d = NamedSharding(mesh, P(None, axis_name))
+
+    for name in ("solution", "solution_old", "solution_old_old"):
+        blocks = getattr(tp, name)
+        for i in range(len(blocks)):
+            blocks[i] = _put(blocks[i], vec)
+    tp.heaviside = _put(tp.heaviside, vec)
+    tp.normal_vector_field = _put(tp.normal_vector_field, vec_d)
+    for name in ("mass_diag", "inv_mass_diag", "proj_diag"):
+        if hasattr(tp, name):
+            setattr(tp, name, _put(getattr(tp, name), vec))
+    n_dev = mesh.devices.size
+    enq = getattr(tp, "evaluated_normal_q", None)
+    if enq is not None and enq.shape[0] % n_dev == 0:
+        tp.evaluated_normal_q = _put(
+            enq, NamedSharding(mesh, P(axis_name, None, None))
+        )
+
+    ops = tp.ops
+    periodic = any(getattr(tp.mesh, "periodic", [False]))
+    if explicit_halo and not periodic:
+        from adaflo_tpu.ops.lattice import IndexMapOps
+        from adaflo_tpu.parallel.halo import HaloOps
+
+        for name, space in (
+            ("lat_ls", tp.ls_space),
+            ("lat_u", tp.navier_stokes.u_space),
+        ):
+            lat = getattr(ops, name)
+            cd = (
+                np.asarray(lat.cd)
+                if isinstance(lat, IndexMapOps)
+                else np.asarray(space.cell_dofs)
+            )
+            setattr(
+                ops, name, HaloOps(cd, lat.n_dofs_padded, mesh, axis_name)
+            )

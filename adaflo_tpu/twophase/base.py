@@ -32,11 +32,15 @@ class TwoPhaseBaseAlgorithm:
         mesh: StructuredMesh,
         concentration_support: str = "iso_q1",
         out=None,
+        pad_dofs_to: int = 1,
     ) -> None:
         self.parameters = parameters
         self.mesh = mesh
         self.out = out
-        self.navier_stokes = NavierStokes(parameters, mesh, out=out)
+        self.pad_dofs_to = pad_dofs_to
+        self.navier_stokes = NavierStokes(
+            parameters, mesh, out=out, pad_dofs_to=pad_dofs_to
+        )
         self.boundary = self.navier_stokes.boundary
         self.time_stepping = self.navier_stokes.time_stepping
         self.concentration_support = concentration_support
@@ -171,6 +175,8 @@ class TwoPhaseBaseAlgorithm:
             self.ls_space = ScalarSpace(
                 mesh, par.concentration_subdivisions, self.concentration_support
             )
+        if self.pad_dofs_to > 1:
+            self.ls_space.set_padding(self.pad_dofs_to)
         self._build_ls_constraints()
         self.print_n_dofs()
 

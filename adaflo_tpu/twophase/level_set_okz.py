@@ -34,8 +34,12 @@ from adaflo_tpu.twophase.base import TwoPhaseBaseAlgorithm
 
 
 class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
-    def __init__(self, parameters: FlowParameters, mesh, out=None) -> None:
-        super().__init__(parameters, mesh, "iso_q1", out=out)
+    def __init__(
+        self, parameters: FlowParameters, mesh, out=None, pad_dofs_to: int = 1
+    ) -> None:
+        super().__init__(
+            parameters, mesh, "iso_q1", out=out, pad_dofs_to=pad_dofs_to
+        )
         self.last_smoothing_step = 0
         self.last_refine_step = 0
         self.old_residual = 1e30
