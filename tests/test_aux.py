@@ -251,62 +251,3 @@ def test_point_evaluation_roundtrip():
     assert (inside == expect).mean() > 0.98
 
 
-def test_pallas_velocity_kernel_matches_einsum():
-    """The fused Pallas cell kernel (interpret mode on CPU) matches the
-    einsum path to machine precision."""
-    from adaflo_tpu.fe.constraints import Constraints
-    from adaflo_tpu.fe.space import ScalarSpace
-    from adaflo_tpu.mesh.structured import StructuredMesh
-    from adaflo_tpu.ops.navier_stokes import (
-        Linearized,
-        NavierStokesOperator,
-        TimeWeights,
-    )
-    from adaflo_tpu.ops.pallas_kernels import velocity_apply_q2_newton
-
-    par = FlowParameters.from_string(
-        """subsection Navier-Stokes
- set dimension = 3
- set velocity degree = 2
- set viscosity = 0.37
- set density = 1.9
-end"""
-    )
-    mesh = StructuredMesh((2, 2, 2), (0, 0, 0), (1.0, 1.3, 0.9))
-    u_space = ScalarSpace(mesh, 2)
-    p_space = ScalarSpace(mesh, 1)
-    cu = []
-    for _ in range(3):
-        c = Constraints(u_space.n_dofs)
-        c.close()
-        cu.append(c)
-    cp = Constraints(p_space.n_dofs)
-    cp.close()
-    op = NavierStokesOperator(par, u_space, p_space, cu, cp)
-    tw = TimeWeights(*(jnp.float64(v) for v in (7.0, -7.0, 0.0, 1.0)))
-    rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal((3, u_space.n_dofs)))
-    ustar = jnp.asarray(rng.standard_normal((3, u_space.n_dofs)))
-    uc_star = op._gather_u(ustar, False)
-    lv = op.ev_u.values(uc_star)
-    lg = op.ev_u.gradients(uc_star)
-    lin = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2))
-    uc = op._gather_u(u, False)
-    ref = op.local_velocity_apply(uc, tw, lin)
-    got = velocity_apply_q2_newton(
-        uc,
-        uc_star,
-        np.asarray(op.ev_u.V),
-        np.asarray(op.ev_u.D),
-        np.asarray(op.ev_u.inv_h),
-        np.asarray(op.ev_u.jxw),
-        rho_w=1.9 * 7.0,
-        tau1_rho=1.9,
-        beta=0.5,
-        mut=0.37,
-        tgd=0.0,
-        block=8,
-        interpret=True,
-    )
-    err = float(jnp.max(jnp.abs(ref - got)) / jnp.max(jnp.abs(ref)))
-    assert err < 1e-12, err
