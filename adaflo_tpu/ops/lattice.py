@@ -14,6 +14,7 @@ contributions back.
 
 from __future__ import annotations
 
+import itertools
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -159,6 +160,118 @@ class LatticeOps:
                 R = jnp.concatenate([first, R[..., 1:-1]], axis=-1)
                 R = jnp.moveaxis(R, -1, ax)
         out = R.reshape(-1)
+        if self.n_dofs_padded > self.n_dofs:
+            out = jnp.concatenate(
+                [out, jnp.zeros(self.n_dofs_padded - self.n_dofs, out.dtype)]
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # Parity-packed ("pe") layout: every cell-local dof row is ONE
+    # contiguous shifted slice of a parity sub-lattice, with cells
+    # enumerated on the extended anchor raster prod(nc_a + 1). No window
+    # splits, no transposes — all HBM motion is contiguous copies/adds.
+    # Rows at phantom anchors (any c_a == nc_a) carry wrapped garbage and
+    # are masked out in the scatter. Non-periodic axes only.
+    # ------------------------------------------------------------------
+    @property
+    def anchor_shape(self):
+        """(z, y, x)-ordered anchor raster: nc_a + 1 per axis."""
+        return tuple(nc + 1 for nc in reversed(self.n_cells_axis))
+
+    @property
+    def n_anchors(self) -> int:
+        return int(np.prod(self.anchor_shape))
+
+    def _parity_rows(self):
+        """Static (sub-lattice index, flat anchor offset) per local dof, in
+        the lexicographic x-fastest local order of cell_dofs."""
+        d, deg = self.dim, self.deg
+        ash = self.anchor_shape
+        strides = tuple(int(np.prod(ash[a + 1 :])) for a in range(d))
+        rows = []
+        for loc in itertools.product(range(deg + 1), repeat=d):  # (z, y, x)
+            sub = 0
+            off = 0
+            for a in range(d):
+                sub = sub * deg + loc[a] % deg
+                off += (loc[a] // deg) * strides[a]
+            rows.append((sub, off))
+        return rows
+
+    def _parity_subs(self, u_flat):
+        """(n,) -> (deg^dim, EA) parity sub-lattices, each zero-padded to
+        the anchor raster."""
+        assert not any(self.periodic), "parity layout: non-periodic only"
+        U = u_flat[: self.n_dofs].reshape(self.lat_shape)
+        deg = self.deg
+        ash = self.anchor_shape
+        subs = []
+        for res in itertools.product(range(deg), repeat=self.dim):
+            s = U[tuple(slice(r, None, deg) for r in res)]
+            pad = tuple((0, ash[a] - s.shape[a]) for a in range(self.dim))
+            if any(p[1] for p in pad):
+                s = jnp.pad(s, pad)
+            subs.append(s.reshape(-1))
+        return jnp.stack(subs)
+
+    def anchor_mask(self, dtype=np.float32) -> np.ndarray:
+        """(EA,) host mask: 1 on real cells, 0 on phantom anchors."""
+        m = np.zeros(self.anchor_shape, dtype)
+        m[tuple(slice(0, nc) for nc in reversed(self.n_cells_axis))] = 1
+        return m.reshape(-1)
+
+    def cells_to_anchors(self, arr):
+        """(..., E) cell-raster array -> (..., EA) anchor raster (zero pad);
+        used to re-raster the per-Newton-step linearization stream."""
+        cs = tuple(reversed(self.n_cells_axis))
+        a = arr.reshape(arr.shape[:-1] + cs)
+        pad = ((0, 0),) * (a.ndim - self.dim) + tuple(
+            (0, 1) for _ in range(self.dim)
+        )
+        return jnp.pad(a, pad).reshape(arr.shape[:-1] + (self.n_anchors,))
+
+    def gather_pe(self, u_flat):
+        """(n,) -> (n_loc, EA): parity gather — n_loc contiguous shifted
+        slices of the deg^dim parity sub-lattices."""
+        subs = self._parity_subs(u_flat)
+        EA = self.n_anchors
+        rows = []
+        for sub, off in self._parity_rows():
+            s = subs[sub]
+            if off:
+                s = jnp.concatenate([s[off:], jnp.zeros((off,), s.dtype)])
+            rows.append(s)
+        return jnp.stack(rows)
+
+    def scatter_add_pe(self, r_pe):
+        """(n_loc, EA) -> (n_padded,): transpose of gather_pe — mask phantom
+        anchors, overlap-add the shifted rows into the parity sub-lattices,
+        re-interleave."""
+        deg = self.deg
+        EA = self.n_anchors
+        r = r_pe * jnp.asarray(self.anchor_mask(), r_pe.dtype)
+        acc = {}
+        for i, (sub, off) in enumerate(self._parity_rows()):
+            contrib = r[i]
+            if off:
+                contrib = jnp.concatenate(
+                    [jnp.zeros((off,), r.dtype), contrib[:-off]]
+                )
+            acc[sub] = contrib if sub not in acc else acc[sub] + contrib
+        full = jnp.zeros(self.lat_shape, r.dtype)
+        ash = self.anchor_shape
+        for k, res in enumerate(itertools.product(range(deg), repeat=self.dim)):
+            if k not in acc:
+                continue
+            s3 = acc[k].reshape(ash)
+            ext = tuple(
+                (self.lat_shape[a] - res[a] + deg - 1) // deg
+                for a in range(self.dim)
+            )
+            sel = tuple(slice(r0, None, deg) for r0 in res)
+            full = full.at[sel].set(s3[tuple(slice(0, e) for e in ext)])
+        out = full.reshape(-1)
         if self.n_dofs_padded > self.n_dofs:
             out = jnp.concatenate(
                 [out, jnp.zeros(self.n_dofs_padded - self.n_dofs, out.dtype)]

@@ -107,10 +107,15 @@ class NavierStokesOperator:
         if self.is_forest:
             # general index-map path: adaptive forests (per-cell Cartesian
             # geometry) and unstructured/curved meshes (full Jacobians)
-            if parameters.augmented_taylor_hood:
+            # forests expose face_neighbors for the DG0 interior-penalty
+            # graph (and cannot be periodic); curved/simplex meshes stay
+            # gated — no reference configuration combines them with augp
+            if parameters.augmented_taylor_hood and not hasattr(
+                mesh, "face_neighbors"
+            ):
                 raise NotImplementedError(
-                    "augmented Taylor-Hood on adaptive forests is not "
-                    "yet supported"
+                    "augmented Taylor-Hood on this mesh type is not "
+                    "supported (adaptive forests and lattice meshes only)"
                 )
             from adaflo_tpu.ops.forest_ops import evaluator_for
 
@@ -126,9 +131,10 @@ class NavierStokesOperator:
             # geometry, but the strided-lattice gather/scatter still applies
             from adaflo_tpu.ops.tensor import VariableCellEvaluator
 
-            if parameters.augmented_taylor_hood:
+            if parameters.augmented_taylor_hood and any(mesh.periodic):
                 raise NotImplementedError(
-                    "augmented Taylor-Hood on graded meshes is not supported"
+                    "augmented Taylor-Hood on periodic graded meshes is "
+                    "not supported"
                 )
             hc = mesh.cell_widths()
             self.ev_u = VariableCellEvaluator(
@@ -244,6 +250,93 @@ class NavierStokesOperator:
         tail = rq[self.n_p_q :]
         return jnp.concatenate([rq[: self.n_p_q], rc, tail])
 
+    # -- generic per-cell geometry for the DG0 augmentation ---------------
+    def _cell_volumes(self):
+        """(E,) cell volumes: sum of jxw over the low-order quadrature —
+        exact for the Cartesian/affine cells of every augp-eligible mesh."""
+        jxw = getattr(self.ev_p_low, "jxw_cells", None)
+        if jxw is not None:
+            return jnp.sum(jxw, axis=-1)
+        E = self.u_space.mesh.n_cells
+        return jnp.full(E, float(jnp.sum(self.ev_p_low.jxw)))
+
+    def _dg0_integrate(self, ev, val):
+        """(E,) cell integrals of a (E, n_q) q-point field — the DG0 test
+        row — for uniform (shared jxw) and per-cell-geometry evaluators."""
+        jxw = getattr(ev, "jxw_cells", None)
+        if jxw is not None:
+            return jnp.sum(val * jxw, axis=-1)
+        return val @ ev.jxw
+
+    def _dg0_faces(self):
+        """Static interior-face list (i, j, coeff) of the DG0 interior
+        penalty graph for non-uniform meshes (graded lattices: per-axis
+        widths; forests: face_neighbors incl. 2:1 hanging subfaces, each
+        subface weighted by the finer cell's face area — the reference
+        assembles the same subface terms, ns_prec.cc:2248-2342). None on
+        the uniform lattice, where the banded diff path is faster."""
+        if hasattr(self, "_dg0_face_cache"):
+            return self._dg0_face_cache
+        mesh = self.u_space.mesh
+        dim = self.dim
+        deg = self.p_space.degree
+        pen = deg * (deg + 1)
+        faces = None
+        if hasattr(mesh, "face_neighbors"):  # adaptive forest
+            centers, h = mesh.cell_geometry()
+            ii, jj, cc = [], [], []
+            for i in range(mesh.n_cells):
+                for axis in range(dim):
+                    nbrs, _rel = mesh.face_neighbors(i, axis, 1)
+                    for j in nbrs:
+                        hmin = np.minimum(h[i], h[j])
+                        area = float(np.prod(np.delete(hmin, axis)))
+                        dist = 0.5 * (h[i, axis] + h[j, axis])
+                        ii.append(i)
+                        jj.append(int(j))
+                        cc.append(pen * area / dist)
+            faces = (
+                jnp.asarray(np.asarray(ii, np.int32)),
+                jnp.asarray(np.asarray(jj, np.int32)),
+                jnp.asarray(np.asarray(cc)),
+            )
+        elif getattr(mesh, "is_graded", False):
+            ncs = mesh.n_cells_axis  # physical (x, y[, z]) order
+            widths = [np.diff(mesh.axis_nodes(a)) for a in range(dim)]
+            raster = tuple(reversed(ncs))  # (z, y, x)
+            idx = np.indices(raster)  # coords[d] in raster order
+            strides = np.array(
+                [int(np.prod(raster[a + 1 :])) for a in range(dim)]
+            )
+            flat = sum(idx[a] * strides[a] for a in range(dim))
+            ii, jj, cc = [], [], []
+            for a in range(dim):  # physical axis a = raster axis dim-1-a
+                ax = dim - 1 - a
+                sel = tuple(
+                    slice(0, -1) if d == ax else slice(None)
+                    for d in range(dim)
+                )
+                i_f = flat[sel].reshape(-1)
+                j_f = (flat[sel] + strides[ax]).reshape(-1)
+                ca = idx[ax][sel]  # cell index along axis a
+                w_a = widths[a]
+                dist = 0.5 * (w_a[ca] + w_a[ca + 1])
+                area = np.ones_like(dist)
+                for b in range(dim):
+                    if b == a:
+                        continue
+                    area = area * widths[b][idx[dim - 1 - b][sel]]
+                ii.append(i_f)
+                jj.append(j_f)
+                cc.append((pen * area / dist).reshape(-1))
+            faces = (
+                jnp.asarray(np.concatenate(ii).astype(np.int32)),
+                jnp.asarray(np.concatenate(jj).astype(np.int32)),
+                jnp.asarray(np.concatenate(cc)),
+            )
+        self._dg0_face_cache = faces
+        return faces
+
     def pressure_values_q(self, p, ev, resolve: bool):
         """pressure values at quadrature points incl. the DG0 constant"""
         pq, pc = self._split_p(p)
@@ -278,7 +371,7 @@ class NavierStokesOperator:
             mode0_q = mode0_q.at[self.constraints_p.constrained_dofs].set(0.0)
             lumped_q = lumped_q.at[self.constraints_p.constrained_dofs].set(0.0)
         if self.augmented:
-            cell_vol = jnp.full(E, float(np.prod(self.u_space.mesh.h)))
+            cell_vol = self._cell_volumes()
             mode0 = self._join_p(mode0_q, jnp.zeros(E))
             w0 = self._join_p(lumped_q * mode0_q, jnp.zeros(E))
             mode1 = self._join_p(jnp.zeros_like(mode0_q), jnp.ones(E))
@@ -301,7 +394,7 @@ class NavierStokesOperator:
         rq = self._scatter_p(self.ev_p.integrate_values(f_q))
         if not self.augmented:
             return rq
-        rc = f_q @ self.ev_p.jxw
+        rc = self._dg0_integrate(self.ev_p, f_q)
         return self._join_p(rq, rc)
 
     def apply_pressure_average_projection(self, rp):
@@ -478,7 +571,16 @@ class NavierStokesOperator:
             if self._pallas_tables is not None and new_lin.grad is not None:
                 from adaflo_tpu.ops.pallas_matvec import stream_t
 
-                new_lin = new_lin._replace(qt=stream_t(new_lin))
+                qt = stream_t(new_lin)
+                if (
+                    os.environ.get("ADAFLO_PALLAS_LAYOUT", "t") == "pe"
+                    and isinstance(self.lat_u, LatticeOps)
+                    and not any(self.u_space.mesh.periodic)
+                ):
+                    # parity layout: pre-raster the stream onto the anchor
+                    # raster once per Newton step (not per Krylov apply)
+                    qt = self.lat_u.cells_to_anchors(qt)
+                new_lin = new_lin._replace(qt=qt)
 
         # stress is (E, comp, deriv, n_q): batch (E, comp), deriv axis at -2
         # exactly as integrate_gradients expects
@@ -542,7 +644,10 @@ class NavierStokesOperator:
         ADAFLO_PALLAS_LAYOUT selects the HBM layout of the cell blocks:
         "t" (default) = (89, E) via gather_t/scatter_add_t; "n" = (E, 89)
         cell-major via gather/scatter_add — contiguous HBM tiles, with the
-        layout change absorbed by the kernel's dot_general contractions."""
+        layout change absorbed by the kernel's dot_general contractions;
+        "pe" = (89, EA) parity-packed with cells on the extended anchor
+        raster — every row is one contiguous shifted slice (no transpose
+        passes at all), phantom anchors masked at scatter."""
         from adaflo_tpu.ops.pallas_matvec import (
             coupled_vmult_cells,
             stream_t,
@@ -550,6 +655,11 @@ class NavierStokesOperator:
 
         par = self.parameters
         layout = os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
+        if layout == "pe" and (
+            any(self.u_space.mesh.periodic)
+            or not isinstance(self.lat_u, LatticeOps)
+        ):
+            layout = "t"
         E = self.u_space.mesh.n_cells
         u_res = [
             self.constraints_u[c].resolve(du[c]) for c in range(self.dim)
@@ -563,6 +673,14 @@ class NavierStokesOperator:
                 + [zp if p_res is None else self.lat_p.gather(p_res)],
                 axis=1,
             )
+        elif layout == "pe":
+            EA = self.lat_u.n_anchors
+            zp = jnp.zeros((self.p_space.n_local, EA), du.dtype)
+            x = jnp.concatenate(
+                [self.lat_u.gather_pe(u_res[c]) for c in range(self.dim)]
+                + [zp if p_res is None else self.lat_p.gather_pe(p_res)],
+                axis=0,
+            )
         else:
             zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
             x = jnp.concatenate(
@@ -571,6 +689,11 @@ class NavierStokesOperator:
                 axis=0,
             )
         s_t = lin.qt if lin.qt is not None else stream_t(lin)
+        if layout == "pe" and s_t.shape[-1] == E:
+            # stream built on the cell raster (e.g. by a caller unaware of
+            # the layout): re-raster per apply as a fallback; the residual
+            # hook pre-rasters qt once per Newton step on this path
+            s_t = self.lat_u.cells_to_anchors(s_t)
         scalars = (
             tw.weight * par.density - par.damping,
             tw.tau1 * par.density,
@@ -584,9 +707,27 @@ class NavierStokesOperator:
             self._pallas_tables,
             scalars,
             interpret=self._pallas_interpret,
-            layout=layout,
+            # "pe" keeps the kernel's transposed (rows, cells) orientation;
+            # only the cell enumeration (anchor raster) differs
+            layout="t" if layout == "pe" else layout,
         )
-        if layout == "n":
+        if layout == "pe":
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.scatter_add_pe(out[c * nl : (c + 1) * nl])
+                    )
+                    for c in range(self.dim)
+                ]
+            )
+            rp = (
+                None
+                if dp is None
+                else self.constraints_p.condense(
+                    self.lat_p.scatter_add_pe(out[self.dim * nl :])
+                )
+            )
+        elif layout == "n":
             ru = jnp.stack(
                 [
                     self.constraints_u[c].condense(
@@ -759,7 +900,14 @@ class NavierStokesOperator:
 
     def _dg0_graph_laplacian(self, pc):
         """sum_faces penalty * |F| * (p_K - p_K') over interior faces; the
-        penalty deg(deg+1)/h matches the reference's IP parameter."""
+        penalty deg(deg+1)/h matches the reference's IP parameter. Uniform
+        lattices use banded diffs; graded lattices and adaptive forests a
+        static face list."""
+        faces = self._dg0_faces()
+        if faces is not None:
+            fi, fj, fc = faces
+            d = fc * (pc[fi] - pc[fj])
+            return jnp.zeros_like(pc).at[fi].add(d).at[fj].add(-d)
         mesh = self.u_space.mesh
         dim = self.dim
         deg = self.p_space.degree
@@ -818,7 +966,7 @@ class NavierStokesOperator:
         )
         rq = con.condense(self.lat_p.scatter_add(ev.integrate_values(val)))
         if pcst is not None:
-            rc = val @ ev.jxw
+            rc = self._dg0_integrate(ev, val)
             rp = self._join_p(rq, rc)
         else:
             rp = rq
@@ -889,14 +1037,20 @@ class NavierStokesOperator:
         lumped = self._scatter_p_plain(self.ev_p_low.integrate_values(ones))
         if not self.augmented:
             return lumped
-        vol = float(np.prod(self.u_space.mesh.h))
-        cvol = jnp.full(E, vol)
+        cvol = self._cell_volumes()
         if coefficient is not None:
             cvol = cvol * coefficient
         return self._join_p(lumped, cvol)
 
     def dg0_diagonal(self):
         """Diagonal of the DG0 interior-penalty graph Laplacian."""
+        faces = self._dg0_faces()
+        if faces is not None:
+            fi, fj, fc = faces
+            E = self.u_space.mesh.n_cells
+            return (
+                jnp.zeros(E, fc.dtype).at[fi].add(fc).at[fj].add(fc)
+            )
         mesh = self.u_space.mesh
         deg = self.p_space.degree
         vol = float(np.prod(mesh.h))

@@ -1082,18 +1082,29 @@ class NavierStokes(FlowBaseAlgorithm):
                 ]
             )
 
+        augmented = self.parameters.augmented_taylor_hood
+        n_p_q = self.p_space.n_dofs
+        E_old = self.mesh.n_cells
         old_vectors = []
         for block in (
             self.solution,
             self.solution_old,
             self.solution_old_old,
         ):
+            p = np.asarray(block[1])
+            pc = p[n_p_q : n_p_q + E_old].copy() if augmented else None
+            pq = jnp.asarray(
+                np.concatenate(
+                    [p[:n_p_q], np.zeros(self.p_space.n_dofs_padded - n_p_q)]
+                )
+                if augmented
+                else p
+            )
             old_vectors.append(
                 (
                     _dist_u(block[0]),
-                    np.asarray(
-                        self.constraints_p.distribute_values(block[1])
-                    ),
+                    np.asarray(self.constraints_p.distribute_values(pq)),
+                    pc,
                 )
             )
         # note: user_rhs is zeroed by the re-allocation; callers with
@@ -1102,7 +1113,14 @@ class NavierStokes(FlowBaseAlgorithm):
         self._setup_discretization()
         # re-allocate on the new sizes and interpolate
         self._allocate_vectors()
-        for (u_old, p_old), dst in zip(
+        # DG0 constants transfer by containment: each new cell takes the
+        # old covering cell's constant (exact on keep + refine; on
+        # coarsening, the child containing the new center — the constants
+        # only seed the BDF extrapolation history)
+        old_of_new = (
+            snap_p.locate(self.mesh.cell_geometry()[0]) if augmented else None
+        )
+        for (u_old, p_old, pc_old), dst in zip(
             old_vectors,
             (self.solution, self.solution_old, self.solution_old_old),
         ):
@@ -1110,6 +1128,11 @@ class NavierStokes(FlowBaseAlgorithm):
             p_new = snap_p.evaluate(p_old, self.p_space.node_coords)
             dst[0] = dst[0].at[:, : self.u_space.n_dofs].set(jnp.asarray(u_new))
             dst[1] = dst[1].at[: self.p_space.n_dofs].set(jnp.asarray(p_new))
+            if augmented:
+                dst[1] = dst[1].at[
+                    self.p_space.n_dofs : self.p_space.n_dofs
+                    + self.mesh.n_cells
+                ].set(jnp.asarray(pc_old[old_of_new]))
         self._build_jitted()
         self._prec_state = None
         self._last_lin = None

@@ -72,7 +72,7 @@ end
     lin_dofs = op._gather_u(u, resolve=False)
     lin_val = op.ev_u.values(lin_dofs)
     lin_grad = op.ev_u.gradients(lin_dofs)
-    lin = Linearized(
+    lin_base = Linearized(
         lin_val, lin_grad, jnp.trace(lin_grad, axis1=1, axis2=2), lin_dofs
     )
 
@@ -82,23 +82,55 @@ end
     # a host scalar: block_until_ready alone does not reliably wait here
     reps = int(os.environ.get("ADAFLO_BENCH_REPS", "200"))
 
-    @jax.jit
-    def chained(u, p):
-        def body(i, carry):
-            uu, pp = carry
-            ru, rp = op.vmult(uu, pp, tw, lin)
-            # keep magnitudes bounded (and the loop body non-foldable)
-            s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
-            return (ru * s, rp * s)
+    def make_chained(layout):
+        """Per-layout jitted chain; the layout env var is read at trace
+        time inside the operator, and the frozen-linearization stream is
+        pre-rastered exactly as the per-Newton-step production hook does."""
+        os.environ["ADAFLO_PALLAS_LAYOUT"] = layout
+        lin = lin_base
+        if op._pallas_tables is not None:
+            from adaflo_tpu.ops.pallas_matvec import stream_t
 
-        ru, rp = jax.lax.fori_loop(0, reps, body, (u, p))
-        return jnp.sum(ru) + jnp.sum(rp)
+            qt = stream_t(lin_base)
+            if layout == "pe":
+                qt = op.lat_u.cells_to_anchors(qt)
+            lin = lin_base._replace(qt=qt)
 
-    # compile + warmup (forced readback)
-    float(chained(u, p))
-    dt = min(
-        _timed_call(lambda: float(chained(u, p))) for _ in range(3)
+        @jax.jit
+        def chained(u, p):
+            def body(i, carry):
+                uu, pp = carry
+                ru, rp = op.vmult(uu, pp, tw, lin)
+                # keep magnitudes bounded (and the loop body non-foldable)
+                s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
+                return (ru * s, rp * s)
+
+            ru, rp = jax.lax.fori_loop(0, reps, body, (u, p))
+            return jnp.sum(ru) + jnp.sum(rp)
+
+        return chained
+
+    # autotune the HBM layout of the Pallas fast path unless pinned:
+    # "t" (transposed window-split), "pe" (parity anchor raster), "n"
+    # (cell-major). The best layout is the reported headline number.
+    layout_env = os.environ.get("ADAFLO_PALLAS_LAYOUT")
+    layouts = (
+        [layout_env]
+        if layout_env
+        else (["t", "pe", "n"] if op._pallas_tables is not None else ["t"])
     )
+    layout_ms = {}
+    dt = float("inf")
+    best_layout = layouts[0]
+    for layout in layouts:
+        chained = make_chained(layout)
+        float(chained(u, p))  # compile + warmup (forced readback)
+        dt_l = min(_timed_call(lambda: float(chained(u, p))) for _ in range(3))
+        layout_ms[layout] = dt_l / reps * 1e3
+        if dt_l < dt:
+            dt, best_layout = dt_l, layout
+    if layout_env is None:
+        os.environ["ADAFLO_PALLAS_LAYOUT"] = best_layout
 
     dofs_per_s = n_dofs * reps / dt
     baseline = 34e6  # reference sample MDoF/s (BASELINE.md)
@@ -169,7 +201,8 @@ end
         "hbm_gbps_achievable_measured": achievable_gbps,
         "pct_of_achievable": 100.0 * eff_gbps / achievable_gbps,
         "pallas_stream": stream_mode,
-        "pallas_layout": os.environ.get("ADAFLO_PALLAS_LAYOUT", "t"),
+        "pallas_layout": best_layout,
+        "layout_ms": {k: round(v, 4) for k, v in layout_ms.items()},
     }
 
     # -- wall time per rising_bubble_ls timestep (BASELINE.json metric) ----
