@@ -257,8 +257,10 @@ class NavierStokesOperator:
         jxw = getattr(self.ev_p_low, "jxw_cells", None)
         if jxw is not None:
             return jnp.sum(jxw, axis=-1)
-        E = self.u_space.mesh.n_cells
-        return jnp.full(E, float(jnp.sum(self.ev_p_low.jxw)))
+        # uniform lattice: host value (this runs inside jit traces, so a
+        # float() readback of a traced jxw sum is not an option)
+        mesh = self.u_space.mesh
+        return jnp.full(mesh.n_cells, float(np.prod(mesh.h)))
 
     def _dg0_integrate(self, ev, val):
         """(E,) cell integrals of a (E, n_q) q-point field — the DG0 test
@@ -295,10 +297,13 @@ class NavierStokesOperator:
                         ii.append(i)
                         jj.append(int(j))
                         cc.append(pen * area / dist)
+            # cache HOST arrays: this is first reached inside jit traces
+            # (preconditioner compute), and caching traced constants would
+            # leak tracers across traces
             faces = (
-                jnp.asarray(np.asarray(ii, np.int32)),
-                jnp.asarray(np.asarray(jj, np.int32)),
-                jnp.asarray(np.asarray(cc)),
+                np.asarray(ii, np.int32),
+                np.asarray(jj, np.int32),
+                np.asarray(cc),
             )
         elif getattr(mesh, "is_graded", False):
             ncs = mesh.n_cells_axis  # physical (x, y[, z]) order
@@ -330,9 +335,9 @@ class NavierStokesOperator:
                 jj.append(j_f)
                 cc.append((pen * area / dist).reshape(-1))
             faces = (
-                jnp.asarray(np.concatenate(ii).astype(np.int32)),
-                jnp.asarray(np.concatenate(jj).astype(np.int32)),
-                jnp.asarray(np.concatenate(cc)),
+                np.concatenate(ii).astype(np.int32),
+                np.concatenate(jj).astype(np.int32),
+                np.concatenate(cc),
             )
         self._dg0_face_cache = faces
         return faces
@@ -905,7 +910,8 @@ class NavierStokesOperator:
         static face list."""
         faces = self._dg0_faces()
         if faces is not None:
-            fi, fj, fc = faces
+            fi, fj = jnp.asarray(faces[0]), jnp.asarray(faces[1])
+            fc = jnp.asarray(faces[2], pc.dtype)
             d = fc * (pc[fi] - pc[fj])
             return jnp.zeros_like(pc).at[fi].add(d).at[fj].add(-d)
         mesh = self.u_space.mesh
@@ -1046,7 +1052,8 @@ class NavierStokesOperator:
         """Diagonal of the DG0 interior-penalty graph Laplacian."""
         faces = self._dg0_faces()
         if faces is not None:
-            fi, fj, fc = faces
+            fi, fj = jnp.asarray(faces[0]), jnp.asarray(faces[1])
+            fc = jnp.asarray(faces[2])
             E = self.u_space.mesh.n_cells
             return (
                 jnp.zeros(E, fc.dtype).at[fi].add(fc).at[fj].add(fc)

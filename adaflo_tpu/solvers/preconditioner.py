@@ -572,16 +572,32 @@ class NavierStokesPreconditioner:
 
     def solve_pressure_mass(self, st: PrecState, rp):
         """CG on the scaled pressure mass, rel 1e-2, lumped-mass diagonal
-        preconditioner (ns_prec.cc:741-773)."""
-        mA = lambda p: self.op.pressure_mass_vmult(p, st.mass_coefficient)
+        preconditioner (ns_prec.cc:741-773). With augmented TH the mass
+        vmult projects out the DG0 constant mode (the operator is singular,
+        cc:449-454); the rhs and the preconditioned residuals must then stay
+        in the projected subspace, or the diagonal preconditioner feeds the
+        null component back and the CG iterates blow up (observed 1e17 on
+        adapted forests, silently eating ~4 digits on uniform lattices)."""
+        op = self.op
+        mA = lambda p: op.pressure_mass_vmult(p, st.mass_coefficient)
         dinv = DiagonalPreconditioner(st.mass_diag_w).inverse
+        if (
+            op.pressure_dg0_mode is not None
+            and self.parameters.linearization != Linearization.projection
+        ):
+            m1, w1, i1 = op.pressure_dg0_mode
+            proj = lambda v: v - (w1 @ v) * i1 * m1
+            rp = proj(rp)
+            M = lambda r: proj(dinv * r)
+        else:
+            M = lambda r: dinv * r
         return cg(
             mA,
             rp,
             jnp.zeros_like(rp),
             jnp.float64(1e-50),
             100,
-            M=lambda r: dinv * r,
+            M=M,
             reduction=1e-2,
         ).x
 
