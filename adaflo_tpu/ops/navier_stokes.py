@@ -578,7 +578,7 @@ class NavierStokesOperator:
 
                 qt = stream_t(new_lin)
                 if (
-                    os.environ.get("ADAFLO_PALLAS_LAYOUT", "t") == "pe"
+                    os.environ.get("ADAFLO_PALLAS_LAYOUT", "t") in ("pe", "pi")
                     and isinstance(self.lat_u, LatticeOps)
                     and not any(self.u_space.mesh.periodic)
                 ):
@@ -660,11 +660,22 @@ class NavierStokesOperator:
 
         par = self.parameters
         layout = os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
-        if layout == "pe" and (
+        if layout in ("pe", "pi") and (
             any(self.u_space.mesh.periodic)
             or not isinstance(self.lat_u, LatticeOps)
         ):
             layout = "t"
+        if layout == "pi" and (
+            os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") != "dofs"
+            or (
+                lin.dofs is None
+                and (
+                    lin.qt is None
+                    or lin.qt.shape[0] != self.dim * self.u_space.n_local
+                )
+            )
+        ):
+            layout = "pe"  # the in-kernel-gather variant streams dofs only
         E = self.u_space.mesh.n_cells
         u_res = [
             self.constraints_u[c].resolve(du[c]) for c in range(self.dim)
@@ -686,6 +697,17 @@ class NavierStokesOperator:
                 + [zp if p_res is None else self.lat_p.gather_pe(p_res)],
                 axis=0,
             )
+        elif layout == "pi":
+            # in-kernel gather: only the parity sub-lattices ride HBM
+            EA = self.lat_u.n_anchors
+            n_sub_u = self.lat_u.deg ** self.dim
+            subs = [self.lat_u._parity_subs(u_res[c]) for c in range(self.dim)]
+            subs.append(
+                jnp.zeros((self.lat_p.deg ** self.dim, EA), du.dtype)
+                if p_res is None
+                else self.lat_p._parity_subs(p_res)
+            )
+            x = jnp.concatenate(subs, axis=0)
         else:
             zp = jnp.zeros((self.p_space.n_local, E), du.dtype)
             x = jnp.concatenate(
@@ -694,7 +716,7 @@ class NavierStokesOperator:
                 axis=0,
             )
         s_t = lin.qt if lin.qt is not None else stream_t(lin)
-        if layout == "pe" and s_t.shape[-1] == E:
+        if layout in ("pe", "pi") and s_t.shape[-1] == E:
             # stream built on the cell raster (e.g. by a caller unaware of
             # the layout): re-raster per apply as a fallback; the residual
             # hook pre-rasters qt once per Newton step on this path
@@ -706,17 +728,41 @@ class NavierStokesOperator:
             tw.tau1 * par.viscosity,
             par.tau_grad_div,
         )
-        out = coupled_vmult_cells(
-            x,
-            s_t,
-            self._pallas_tables,
-            scalars,
-            interpret=self._pallas_interpret,
-            # "pe" keeps the kernel's transposed (rows, cells) orientation;
-            # only the cell enumeration (anchor raster) differs
-            layout="t" if layout == "pe" else layout,
-        )
-        if layout == "pe":
+        if layout == "pi":
+            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_parity
+
+            rows_table = []
+            for c in range(self.dim):
+                rows_table += [
+                    (c * n_sub_u + s, off)
+                    for s, off in self.lat_u._parity_rows()
+                ]
+            rows_table += [
+                (self.dim * n_sub_u + s, off)
+                for s, off in self.lat_p._parity_rows()
+            ]
+            out = coupled_vmult_parity(
+                x,
+                s_t,
+                self._pallas_tables,
+                scalars,
+                tuple(rows_table),
+                EA,
+                interpret=self._pallas_interpret,
+            )
+        else:
+            out = coupled_vmult_cells(
+                x,
+                s_t,
+                self._pallas_tables,
+                scalars,
+                interpret=self._pallas_interpret,
+                # "pe" keeps the kernel's transposed (rows, cells)
+                # orientation; only the cell enumeration (anchor raster)
+                # differs
+                layout="t" if layout == "pe" else layout,
+            )
+        if layout in ("pe", "pi"):
             ru = jnp.stack(
                 [
                     self.constraints_u[c].condense(

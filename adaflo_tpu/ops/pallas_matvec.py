@@ -229,6 +229,51 @@ def stream_t(lin) -> jnp.ndarray:
     return qfields_t(lin)
 
 
+def _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref):
+    """Shared per-block math: convective Newton rows from (r, s) into n_ref,
+    final out = M x + A_ic n. r/s: (dim(dim+1)g, B) u/u* values+gradients."""
+    pt = dict(preferred_element_type=x.dtype)
+    parts = dim + 1
+
+    def rows(block, part, c):
+        i0 = (c * parts + part) * g
+        return block[i0 : i0 + g]
+
+    val_u = [rows(r, 0, c) for c in range(dim)]
+    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
+    val_s = [rows(s, 0, c) for c in range(dim)]
+    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
+
+    div = g_u[0][0]
+    div_s = g_s[0][0]
+    for a in range(1, dim):
+        div = div + g_u[a][a]
+        div_s = div_s + g_s[a][a]
+
+    for c in range(dim):
+        # Newton convective linearization (nsm.cc:802-826); the mass /
+        # stress / pressure / divergence terms all live in M_ref
+        res = beta * (div * val_s[c] + div_s * val_u[c])
+        for e in range(dim):
+            # u*_e d_e du_c + du_e d_e u*_c (g[c][d] = d-th deriv of comp c)
+            res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
+        n_ref[c * g : (c + 1) * g] = res
+    if natural:
+        # out^T = x @ M^T + n^T @ A_ic^T, both directly in (B, 89)
+        out_ref[:] = jax.lax.dot_general(
+            x, M_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), **pt
+        ) + jax.lax.dot_general(
+            n_ref[:],
+            Ai_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            **pt,
+        )
+    else:
+        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
+            Ai_ref[:], n_ref[:], **pt
+        )
+
+
 def _kernel_su(
     g,
     dim,
@@ -262,43 +307,48 @@ def _kernel_su(
         Ae_ref[:], x, dimension_numbers=(cdim, ((), ())), **pt
     )  # (dim(dim+1)g, B)
     s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
+    _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref)
 
-    parts = dim + 1
 
-    def rows(block, part, c):
-        i0 = (c * parts + part) * g
-        return block[i0 : i0 + g]
-
-    val_u = [rows(r, 0, c) for c in range(dim)]
-    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
-    val_s = [rows(s, 0, c) for c in range(dim)]
-    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
-
-    div = g_u[0][0]
-    div_s = g_s[0][0]
-    for a in range(1, dim):
-        div = div + g_u[a][a]
-        div_s = div_s + g_s[a][a]
-
-    for c in range(dim):
-        res = beta * (div * val_s[c] + div_s * val_u[c])
-        for e in range(dim):
-            res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
-        n_ref[c * g : (c + 1) * g] = res
-    if natural:
-        # out^T = x @ M^T + n^T @ A_ic^T, both directly in (B, 89)
-        out_ref[:] = jax.lax.dot_general(
-            x, M_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), **pt
-        ) + jax.lax.dot_general(
-            n_ref[:],
-            Ai_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            **pt,
-        )
-    else:
-        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
-            Ai_ref[:], n_ref[:], **pt
-        )
+def _kernel_pi(
+    g,
+    dim,
+    rows_table,
+    win,
+    block,
+    beta_ref,
+    Ae_ref,
+    Aev_ref,
+    M_ref,
+    Ai_ref,
+    subs_ref,
+    su_ref,
+    out_ref,
+    win_ref,
+    x_ref,
+    n_ref,
+    sem,
+):
+    """Parity in-kernel-gather variant: subs_ref (R, L) holds the parity
+    sub-lattices in HBM; each grid step DMAs one (R, win) slab into VMEM
+    and assembles the (n_cols, B) cell block by static shifted slices —
+    the gather never materializes in HBM (the XLA-side 'pe' layout writes
+    and re-reads the (89, EA) block; this variant streams ~n_dofs instead).
+    rows_table: static (sub-lattice row, anchor offset) per x row."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        subs_ref.at[:, pl.ds(i * block, win)], win_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    for k, (srow, off) in enumerate(rows_table):
+        x_ref[k, :] = win_ref[srow, off : off + block]
+    beta = beta_ref[0]
+    x = x_ref[:]
+    pt = dict(preferred_element_type=x.dtype)
+    r = jnp.dot(Ae_ref[:], x, **pt)
+    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
+    _block_core(g, dim, False, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref)
 
 
 def _kernel(
@@ -330,45 +380,7 @@ def _kernel(
     # dominant traffic; the Newton matrix is consistent either way since S
     # is fixed per Newton step) — upconvert on the VPU after load
     s = s_ref[:].astype(x.dtype)
-
-    parts = dim + 1
-
-    def rows(block, part, c):
-        i0 = (c * parts + part) * g
-        return block[i0 : i0 + g]
-
-    val_u = [rows(r, 0, c) for c in range(dim)]
-    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
-    val_s = [rows(s, 0, c) for c in range(dim)]
-    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
-
-    div = g_u[0][0]
-    div_s = g_s[0][0]
-    for a in range(1, dim):
-        div = div + g_u[a][a]
-        div_s = div_s + g_s[a][a]
-
-    for c in range(dim):
-        # Newton convective linearization (nsm.cc:802-826); the mass /
-        # stress / pressure / divergence terms all live in M_ref
-        res = beta * (div * val_s[c] + div_s * val_u[c])
-        for e in range(dim):
-            # u*_e d_e du_c + du_e d_e u*_c (g[c][d] = d-th deriv of comp c)
-            res = res + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
-        n_ref[c * g : (c + 1) * g] = res
-    if natural:
-        out_ref[:] = jax.lax.dot_general(
-            x, M_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), **pt
-        ) + jax.lax.dot_general(
-            n_ref[:],
-            Ai_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            **pt,
-        )
-    else:
-        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
-            Ai_ref[:], n_ref[:], **pt
-        )
+    _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref)
 
 
 def coupled_vmult_cells(
@@ -455,3 +467,90 @@ def coupled_vmult_cells(
         interpret=interpret,
     )(*consts, M89, A_ics, x_t, s_t)
     return out[:E] if natural else out[:, :E]
+
+
+def coupled_vmult_parity(
+    subs,
+    s_t,
+    tables: MatvecTables,
+    scalars,
+    rows_table,
+    n_anchors: int,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    """Fused coupled apply with the gather INSIDE the kernel.
+
+    subs: (R, L) stacked parity sub-lattices (u components' deg^dim
+    sub-lattices then the pressure corner lattice), each on the anchor
+    raster; L must cover the last block's DMA window (the caller pads).
+    rows_table: static tuple of (sub row, anchor offset) per kernel x row,
+    from LatticeOps._parity_rows of the velocity/pressure spaces.
+    s_t: (dim n_u_loc, EA) frozen-linearization dof stream on the anchor
+    raster (qdofs_t + cells_to_anchors). Returns (n_cols, EA): identical
+    to the 'pe' layout's kernel output — same scatter path — but the
+    (n_cols, EA) input block never rides HBM."""
+    dtype = subs.dtype
+    n_cols = len(rows_table)
+    EA = n_anchors
+    if block is None:
+        block = int(os.environ.get("ADAFLO_PALLAS_BLOCK", "1024"))
+    block = min(block, max(128, -(-EA // 128) * 128))
+    EA_pad = -(-EA // block) * block
+    max_off = max(off for _, off in rows_table)
+    win = block + -(-max_off // 128) * 128
+    # pad the sub-lattices so the last block's window never runs off the end
+    L_need = (EA_pad // block - 1) * block + win
+    if subs.shape[1] < L_need:
+        subs = jnp.pad(subs, ((0, 0), (0, L_need - subs.shape[1])))
+    if s_t.shape[-1] != EA_pad:
+        s_t = jnp.pad(s_t, ((0, 0), (0, EA_pad - s_t.shape[-1])))
+
+    g = tables.g
+    dim = tables.dim
+    n_su = dim * tables.n_u_loc
+    assert s_t.shape[0] == n_su, "parity kernel requires the dof stream"
+    Ae = jnp.asarray(tables.A_evg, dtype)
+    n_rows = Ae.shape[0]
+    M89, A_ics, beta = combine_linear(tables, scalars, dtype)
+    rep2 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_pi, g, dim, tuple(rows_table), win, block
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(EA_pad // block,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            rep2((n_rows, n_cols)),
+            rep2((n_rows, n_su)),
+            rep2((n_cols, n_cols)),
+            rep2((n_cols, dim * g)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n_su, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_cols, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_cols, EA_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((subs.shape[0], win), dtype),
+            pltpu.VMEM((n_cols, block), dtype),
+            pltpu.VMEM((dim * g, block), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        beta[None],
+        Ae,
+        jnp.asarray(tables.A_evg[:, :n_su], s_t.dtype),
+        M89,
+        A_ics,
+        subs,
+        s_t,
+    )
+    return out[:, :EA]

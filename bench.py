@@ -92,7 +92,7 @@ end
             from adaflo_tpu.ops.pallas_matvec import stream_t
 
             qt = stream_t(lin_base)
-            if layout == "pe":
+            if layout in ("pe", "pi"):
                 qt = op.lat_u.cells_to_anchors(qt)
             lin = lin_base._replace(qt=qt)
 
@@ -117,15 +117,21 @@ end
     layouts = (
         [layout_env]
         if layout_env
-        else (["t", "pe", "n"] if op._pallas_tables is not None else ["t"])
+        else (["t", "pe", "pi", "n"] if op._pallas_tables is not None else ["t"])
     )
     layout_ms = {}
     dt = float("inf")
     best_layout = layouts[0]
     for layout in layouts:
-        chained = make_chained(layout)
-        float(chained(u, p))  # compile + warmup (forced readback)
-        dt_l = min(_timed_call(lambda: float(chained(u, p))) for _ in range(3))
+        try:
+            chained = make_chained(layout)
+            float(chained(u, p))  # compile + warmup (forced readback)
+            dt_l = min(
+                _timed_call(lambda: float(chained(u, p))) for _ in range(3)
+            )
+        except Exception as ex:  # a failing variant must not kill the bench
+            layout_ms[layout] = f"{type(ex).__name__}"
+            continue
         layout_ms[layout] = dt_l / reps * 1e3
         if dt_l < dt:
             dt, best_layout = dt_l, layout
@@ -202,7 +208,10 @@ end
         "pct_of_achievable": 100.0 * eff_gbps / achievable_gbps,
         "pallas_stream": stream_mode,
         "pallas_layout": best_layout,
-        "layout_ms": {k: round(v, 4) for k, v in layout_ms.items()},
+        "layout_ms": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in layout_ms.items()
+        },
     }
 
     # -- wall time per rising_bubble_ls timestep (BASELINE.json metric) ----

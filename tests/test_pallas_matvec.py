@@ -48,7 +48,7 @@ end
 
 
 @pytest.mark.parametrize("dim,degree", [(3, 2), (2, 2), (3, 3)])
-@pytest.mark.parametrize("layout", ["t", "n", "pe"])
+@pytest.mark.parametrize("layout", ["t", "n", "pe", "pi"])
 @pytest.mark.parametrize("stream", ["qfields", "dofs"])
 def test_pallas_coupled_vmult_matches_einsum(
     monkeypatch, layout, stream, dim, degree
