@@ -232,6 +232,24 @@ def test_halo_sharded_two_phase_step_matches_single_device():
     assert np.abs(c - c_ref).max() < 1e-9
     assert np.abs(u - u_ref).max() < 1e-9
 
+    # cross-device diagnostics on the sharded state: the interface-point
+    # collection / range / max-velocity reductions gather the distributed
+    # data exactly like the single-device path (the reference's MPI
+    # interface-point gather + reductions, two_phase_base.cc:479-545,
+    # 904-965)
+    stats_ref = np.asarray(ref.compute_bubble_statistics())
+    stats = np.asarray(tp.compute_bubble_statistics())
+    np.testing.assert_allclose(stats, stats_ref, rtol=0, atol=1e-9)
+    assert (
+        abs(tp.get_maximal_velocity() - ref.get_maximal_velocity()) < 1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp.get_concentration_range()),
+        np.asarray(ref.get_concentration_range()),
+        rtol=0,
+        atol=1e-9,
+    )
+
 
 def test_halo_compiles_to_collective_permute_only():
     """The ICI-efficiency evidence: the compiled halo exchange contains
