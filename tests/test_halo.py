@@ -172,6 +172,64 @@ end
     assert np.isfinite(u).all() and np.abs(u).max() > 1e-3
 
 
+def test_halo_reshard_after_adapt_matches_single_device():
+    """The full distributed AMR cycle — sharded step, adapt (host remesh +
+    solution transfer), RE-shard over the same device mesh, next step —
+    equals the single-device sequence: the reference's p4est
+    repartitioning-after-refinement bar (SURVEY §2.2; the Morton order is
+    the partition order, so re-balancing = re-sharding the new arrays)."""
+    from adaflo_tpu.mesh.forest import ForestMesh
+    from adaflo_tpu.parameters import FlowParameters
+    from adaflo_tpu.parallel.sharding import shard_solver_state, solver_mesh
+    from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
+
+    mesh8 = _mesh8()
+    par = FlowParameters.from_string(
+        """
+subsection Time stepping
+  set end time = 0.1
+  set step size = 0.05
+end
+subsection Navier-Stokes
+  set dimension = 2
+  set global refinements = 1
+  set velocity degree = 2
+  subsection Solver
+    set NL max iterations = 3
+    set NL tolerance = 1.e-10
+    set lin tolerance = 1.e-9
+  end
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+    )
+
+    def run(pad, shard):
+        fm = ForestMesh((2, 2), (0.0, 0.0), (1.0, 1.0))
+        ns = NavierStokes(par, fm, pad_dofs_to=pad)
+        ns.set_velocity_dirichlet_boundary(
+            0, lambda x, t: np.stack([x[:, 1], 0 * x[:, 0]])
+        )
+        ns.fix_pressure_constant(0)
+        ns.setup_problem()
+        if shard:
+            shard_solver_state(ns, solver_mesh(jax.devices()[:8]))
+        ns.advance_time_step()
+        flags = np.zeros(ns.mesh.n_cells, dtype=np.int8)
+        flags[0] = flags[3] = 1  # 16 -> 22 cells, not divisible by 8
+        assert ns.adapt_mesh(flags)
+        if shard:
+            shard_solver_state(ns, solver_mesh(jax.devices()[:8]))
+        ns.advance_time_step()
+        return np.asarray(ns.solution[0])[:, : ns.u_space.n_dofs]
+
+    u_ref = run(1, False)
+    u_sh = run(8, True)
+    assert np.abs(u_sh - u_ref).max() < 1e-9
+
+
 def _small_two_phase(pad):
     """A one-step rising-bubble level-set problem (the rising_bubble_ls
     physics on a coarser mesh)."""
