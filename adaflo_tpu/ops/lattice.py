@@ -235,7 +235,6 @@ class LatticeOps:
         """(n,) -> (n_loc, EA): parity gather — n_loc contiguous shifted
         slices of the deg^dim parity sub-lattices."""
         subs = self._parity_subs(u_flat)
-        EA = self.n_anchors
         rows = []
         for sub, off in self._parity_rows():
             s = subs[sub]
@@ -249,7 +248,6 @@ class LatticeOps:
         anchors, overlap-add the shifted rows into the parity sub-lattices,
         re-interleave."""
         deg = self.deg
-        EA = self.n_anchors
         r = r_pe * jnp.asarray(self.anchor_mask(), r_pe.dtype)
         acc = {}
         for i, (sub, off) in enumerate(self._parity_rows()):

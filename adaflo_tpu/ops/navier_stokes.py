@@ -285,7 +285,7 @@ class NavierStokesOperator:
         pen = deg * (deg + 1)
         faces = None
         if hasattr(mesh, "face_neighbors"):  # adaptive forest
-            centers, h = mesh.cell_geometry()
+            _, h = mesh.cell_geometry()
             ii, jj, cc = [], [], []
             for i in range(mesh.n_cells):
                 for axis in range(dim):
@@ -665,17 +665,20 @@ class NavierStokesOperator:
             or not isinstance(self.lat_u, LatticeOps)
         ):
             layout = "t"
-        if layout == "pi" and (
-            os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") != "dofs"
-            or (
-                lin.dofs is None
-                and (
-                    lin.qt is None
-                    or lin.qt.shape[0] != self.dim * self.u_space.n_local
+        if layout == "pi":
+            # the in-kernel-gather variant streams dofs only: whatever s_t
+            # resolves to below must be the (dim n_u_loc, ·) dof stream
+            n_su = self.dim * self.u_space.n_local
+            dof_stream = (
+                lin.qt.shape[0] == n_su
+                if lin.qt is not None
+                else (
+                    os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") == "dofs"
+                    and lin.dofs is not None
                 )
             )
-        ):
-            layout = "pe"  # the in-kernel-gather variant streams dofs only
+            if not dof_stream:
+                layout = "pe"
         E = self.u_space.mesh.n_cells
         u_res = [
             self.constraints_u[c].resolve(du[c]) for c in range(self.dim)

@@ -334,15 +334,33 @@ def _kernel_pi(
     and assembles the (n_cols, B) cell block by static shifted slices —
     the gather never materializes in HBM (the XLA-side 'pe' layout writes
     and re-reads the (89, EA) block; this variant streams ~n_dofs instead).
-    rows_table: static (sub-lattice row, anchor offset) per x row."""
+    rows_table: static (sub-lattice row, anchor offset) per x row.
+
+    Two-slot double buffering: block i+1's slab copy is started before
+    block i's compute, so the HBM latency hides behind the MXU/VPU work
+    (TPU grids run sequentially, making the slot reuse race-free)."""
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        subs_ref.at[:, pl.ds(i * block, win)], win_ref, sem
-    )
-    dma.start()
-    dma.wait()
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+    def copy_in(blk, s):
+        return pltpu.make_async_copy(
+            subs_ref.at[:, pl.ds(blk * block, win)],
+            win_ref.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        copy_in(i, slot).start()
+
+    @pl.when(i + 1 < nblk)
+    def _prefetch():
+        copy_in(i + 1, 1 - slot).start()
+
+    copy_in(i, slot).wait()
     for k, (srow, off) in enumerate(rows_table):
-        x_ref[k, :] = win_ref[srow, off : off + block]
+        x_ref[k, :] = win_ref[slot, srow, off : off + block]
     beta = beta_ref[0]
     x = x_ref[:]
     pt = dict(preferred_element_type=x.dtype)
@@ -538,10 +556,10 @@ def coupled_vmult_parity(
         ),
         out_shape=jax.ShapeDtypeStruct((n_cols, EA_pad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((subs.shape[0], win), dtype),
+            pltpu.VMEM((2, subs.shape[0], win), dtype),
             pltpu.VMEM((n_cols, block), dtype),
             pltpu.VMEM((dim * g, block), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(

@@ -119,6 +119,10 @@ end
         if layout_env
         else (["t", "pe", "pi", "n"] if op._pallas_tables is not None else ["t"])
     )
+    # "pi" silently demotes to "pe" without the dof stream — timing it would
+    # mislabel a second "pe" measurement
+    if os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") != "dofs" and "pi" in layouts:
+        layouts.remove("pi")
     layout_ms = {}
     dt = float("inf")
     best_layout = layouts[0]
@@ -135,6 +139,10 @@ end
         layout_ms[layout] = dt_l / reps * 1e3
         if dt_l < dt:
             dt, best_layout = dt_l, layout
+    if not (dt < float("inf")):
+        # every variant failed (incl. the production default "t"): fail
+        # loudly rather than emit a bogus 0-DoF/s / Infinity JSON line
+        raise RuntimeError(f"all Pallas layouts failed: {layout_ms}")
     if layout_env is None:
         os.environ["ADAFLO_PALLAS_LAYOUT"] = best_layout
 
