@@ -323,27 +323,56 @@ class TwoPhaseBaseAlgorithm:
         touch the cell extents, so unit h serves any mesh type)."""
         return (
             (1.0,) * self.mesh.dim
-            if (self.is_forest or self.is_mapped)
+            if (self.is_forest or self.is_mapped or self.is_simplex)
             else self.mesh.h
         )
+
+    @staticmethod
+    def _simplex_value_table(space, n_sub: int):
+        """Dense (n_pts, n_local) value tabulation of a SimplexSpace element
+        at the equidistant barycentric lattice (incl. vertices/edges — so
+        min/max diagnostics see the extremal boundary values, matching the
+        reference's equidistant point sets, two_phase_base.cc:487)."""
+        ij = [
+            (i, j)
+            for i in range(n_sub + 1)
+            for j in range(n_sub + 1 - i)
+        ]
+        pts = np.asarray(ij, dtype=float) / max(n_sub, 1)
+        V, _ = space.element.tabulate(pts)
+        return jnp.asarray(V)
 
     def get_maximal_velocity(self) -> float:
         """Max |u| over an equidistant point lattice per cell
         (two_phase_base.cc:479-509)."""
         ns = self.navier_stokes
-        pts = equidistant_points(self.parameters.velocity_degree + 2)
-        ev = CellEvaluator(
-            self.mesh.dim, ns.u_space.basis, (pts, np.zeros_like(pts)), self._unit_h()
-        )
         # fully on-device: gather, evaluate, reduce — ONE scalar readback
         # (the previous host pull of the full velocity vector cost a
         # multi-MB device->host transfer per step through the TPU tunnel)
         cd = jnp.asarray(ns.u_space.cell_dofs)
+        if self.is_simplex:
+            V = self._simplex_value_table(
+                ns.u_space, self.parameters.velocity_degree + 2
+            )
 
-        def _maxvel(u):
-            cells = jnp.transpose(u[:, cd], (1, 0, 2))
-            vals = ev.values(cells)
-            return jnp.sqrt((vals**2).sum(axis=1)).max()
+            def _maxvel(u):
+                cells = jnp.transpose(u[:, cd], (1, 0, 2))
+                vals = jnp.einsum("qi,eci->ecq", V, cells)
+                return jnp.sqrt((vals**2).sum(axis=1)).max()
+
+        else:
+            pts = equidistant_points(self.parameters.velocity_degree + 2)
+            ev = CellEvaluator(
+                self.mesh.dim,
+                ns.u_space.basis,
+                (pts, np.zeros_like(pts)),
+                self._unit_h(),
+            )
+
+            def _maxvel(u):
+                cells = jnp.transpose(u[:, cd], (1, 0, 2))
+                vals = ev.values(cells)
+                return jnp.sqrt((vals**2).sum(axis=1)).max()
 
         if self._maxvel_fn is None:
             import jax
@@ -353,18 +382,26 @@ class TwoPhaseBaseAlgorithm:
 
     def get_concentration_range(self) -> tuple[float, float]:
         """Range over an equidistant lattice (two_phase_base.cc:513-545)."""
-        pts = equidistant_points(self.ls_space.degree + 3)
-        ev = CellEvaluator(
-            self.mesh.dim,
-            self.ls_space.basis,
-            (pts, np.zeros_like(pts)),
-            self._unit_h(),
-        )
         cd = jnp.asarray(self.ls_space.cell_dofs)
+        if self.is_simplex:
+            V = self._simplex_value_table(self.ls_space, self.ls_space.degree + 3)
 
-        def _crange(c):
-            vals = ev.values(c[cd])
-            return vals.min(), vals.max()
+            def _crange(c):
+                vals = jnp.einsum("qi,ei->eq", V, c[cd])
+                return vals.min(), vals.max()
+
+        else:
+            pts = equidistant_points(self.ls_space.degree + 3)
+            ev = CellEvaluator(
+                self.mesh.dim,
+                self.ls_space.basis,
+                (pts, np.zeros_like(pts)),
+                self._unit_h(),
+            )
+
+            def _crange(c):
+                vals = ev.values(c[cd])
+                return vals.min(), vals.max()
 
         if self._crange_fn is None:
             import jax

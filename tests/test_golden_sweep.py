@@ -24,7 +24,22 @@ def _run(module_name: str, prm: str, golden: str):
     from adaflo_tpu.testing import compare_with_golden, run_driver_capture
 
     mod = importlib.import_module(module_name)
-    text = run_driver_capture(mod.main, str(HERE / "prms" / prm))
+    env_mesh_dir = None
+    if module_name.endswith("simplex_bubble"):
+        # runs on the reference's own simplex_bubble_<n>.msh, resolved via
+        # ADAFLO_MESH_DIR (the reference reads it from the source dir);
+        # simplex_channel_small deliberately uses the generated fallback
+        # mesh, so the variable is scoped to this case only
+        env_mesh_dir = os.environ.get("ADAFLO_MESH_DIR")
+        os.environ["ADAFLO_MESH_DIR"] = "/root/reference/tests"
+    try:
+        text = run_driver_capture(mod.main, str(HERE / "prms" / prm))
+    finally:
+        if module_name.endswith("simplex_bubble"):
+            if env_mesh_dir is None:
+                os.environ.pop("ADAFLO_MESH_DIR", None)
+            else:
+                os.environ["ADAFLO_MESH_DIR"] = env_mesh_dir
     compare_with_golden(text, HERE / "golden" / golden)
 
 
@@ -129,6 +144,14 @@ CASES = [
         "adaflo_tpu.drivers.simplex_channel",
         "simplex_channel_small.prm",
         "simplex_channel_small.output",
+    ),
+    (
+        # the reference's own simplex_bubble_2.msh (1792 cells, golden
+        # header parity) for 5 steps of the simplex_bubble.prm physics
+        "simplex_bubble",
+        "adaflo_tpu.drivers.simplex_bubble",
+        "simplex_bubble_short.prm",
+        "simplex_bubble_short.output",
     ),
 ]
 
