@@ -201,19 +201,29 @@ class LatticeOps:
 
     def _parity_subs(self, u_flat):
         """(n,) -> (deg^dim, EA) parity sub-lattices, each zero-padded to
-        the anchor raster."""
+        the anchor raster.
+
+        Implemented as pad + reshape + ONE transpose (parity axes to the
+        front): stride-deg lane/sublane slicing lowers to a serialized
+        gather on TPU (measured 0.7 GB/s at 97^3), while the equivalent
+        transpose runs on the relayout path at ~46 GB/s — 62x faster."""
         assert not any(self.periodic), "parity layout: non-periodic only"
         U = u_flat[: self.n_dofs].reshape(self.lat_shape)
         deg = self.deg
+        d = self.dim
         ash = self.anchor_shape
-        subs = []
-        for res in itertools.product(range(deg), repeat=self.dim):
-            s = U[tuple(slice(r, None, deg) for r in res)]
-            pad = tuple((0, ash[a] - s.shape[a]) for a in range(self.dim))
-            if any(p[1] for p in pad):
-                s = jnp.pad(s, pad)
-            subs.append(s.reshape(-1))
-        return jnp.stack(subs)
+        # pad each axis from deg*nc+1 to deg*(nc+1), split into (anchor,
+        # parity) index pairs: node = j*deg + r
+        U = jnp.pad(U, tuple((0, deg * ash[a] - U.shape[a]) for a in range(d)))
+        V = U.reshape(
+            tuple(x for a in range(d) for x in (ash[a], deg))
+        )
+        # (i0, r0, i1, r1, ...) -> (r0, r1, ..., i0, i1, ...): sub index is
+        # lexicographic with the first (z) parity slowest, matching the
+        # product(range(deg), repeat=dim) stacking order of _parity_rows
+        perm = [2 * a + 1 for a in range(d)] + [2 * a for a in range(d)]
+        V = jnp.transpose(V, perm)
+        return V.reshape(deg**d, self.n_anchors)
 
     def anchor_mask(self, dtype=np.float32) -> np.ndarray:
         """(EA,) host mask: 1 on real cells, 0 on phantom anchors."""
@@ -257,19 +267,23 @@ class LatticeOps:
                     [jnp.zeros((off,), r.dtype), contrib[:-off]]
                 )
             acc[sub] = contrib if sub not in acc else acc[sub] + contrib
-        full = jnp.zeros(self.lat_shape, r.dtype)
+        d = self.dim
         ash = self.anchor_shape
-        for k, res in enumerate(itertools.product(range(deg), repeat=self.dim)):
-            if k not in acc:
-                continue
-            s3 = acc[k].reshape(ash)
-            ext = tuple(
-                (self.lat_shape[a] - res[a] + deg - 1) // deg
-                for a in range(self.dim)
-            )
-            sel = tuple(slice(r0, None, deg) for r0 in res)
-            full = full.at[sel].set(s3[tuple(slice(0, e) for e in ext)])
-        out = full.reshape(-1)
+        n_sub = deg**d
+        # re-interleave by the inverse of the _parity_subs transpose (strided
+        # .at[::deg].set scatters serialize on TPU; the transpose does not)
+        stacked = jnp.stack(
+            [
+                acc.get(k, jnp.zeros(self.n_anchors, r.dtype))
+                for k in range(n_sub)
+            ]
+        )
+        V = stacked.reshape((deg,) * d + ash)
+        # (r0, .., r_{d-1}, i0, .., i_{d-1}) -> (i0, r0, i1, r1, ...)
+        perm = [x for a in range(d) for x in (d + a, a)]
+        U = jnp.transpose(V, perm).reshape(tuple(deg * ash[a] for a in range(d)))
+        # crop the anchor padding (contributions there are phantom-masked)
+        out = U[tuple(slice(0, s) for s in self.lat_shape)].reshape(-1)
         if self.n_dofs_padded > self.n_dofs:
             out = jnp.concatenate(
                 [out, jnp.zeros(self.n_dofs_padded - self.n_dofs, out.dtype)]

@@ -517,10 +517,20 @@ def coupled_vmult_parity(
     EA_pad = -(-EA // block) * block
     max_off = max(off for _, off in rows_table)
     win = block + -(-max_off // 128) * 128
+    # pad the sub-lattice count to a sublane multiple: the double-buffer
+    # scratch is sliced at the dynamic slot index, and Mosaic requires
+    # dynamically-offset VMEM slices to be (8, 128)-tile aligned (an
+    # unpadded R=25 compiles only when the grid has one block and the slot
+    # const-folds to 0)
+    R = subs.shape[0]
+    R_pad = -(-R // 8) * 8
     # pad the sub-lattices so the last block's window never runs off the end
     L_need = (EA_pad // block - 1) * block + win
-    if subs.shape[1] < L_need:
-        subs = jnp.pad(subs, ((0, 0), (0, L_need - subs.shape[1])))
+    if subs.shape[1] < L_need or R_pad != R:
+        subs = jnp.pad(
+            subs,
+            ((0, R_pad - R), (0, max(0, L_need - subs.shape[1]))),
+        )
     if s_t.shape[-1] != EA_pad:
         s_t = jnp.pad(s_t, ((0, 0), (0, EA_pad - s_t.shape[-1])))
 

@@ -162,6 +162,14 @@ SLOW_CASES = [
         "spurious_currents_ls_3d_short.prm",
         "spurious_currents_ls_3d_short.output",
     ),
+    (
+        # 3D sharp-interface rising bubble (marching tetrahedra / 3D
+        # level-set front, sharp_interface.h:503-1074 dim-templated)
+        "sim_rb_3d",
+        "adaflo_tpu.drivers.sim_rising_bubble",
+        "sim_rising_bubble_3d_short.prm",
+        "sim_rising_bubble_3d_short.output",
+    ),
 ]
 
 
