@@ -231,6 +231,19 @@ class LatticeOps:
         m[tuple(slice(0, nc) for nc in reversed(self.n_cells_axis))] = 1
         return m.reshape(-1)
 
+    def anchor_mask_dev(self, dtype=jnp.float32):
+        """anchor_mask built from iotas INSIDE the trace — a host ndarray
+        would be embedded as an O(EA) literal in the compiled program (102MB
+        of MLIR at 84^3, which kills the compile helper)."""
+        ash = self.anchor_shape
+        m = None
+        for a, s in enumerate(ash):
+            shape = [1] * len(ash)
+            shape[a] = s
+            ax = (jnp.arange(s) < (s - 1)).astype(dtype).reshape(shape)
+            m = ax if m is None else m * ax
+        return jnp.broadcast_to(m, ash).reshape(-1)
+
     def cells_to_anchors(self, arr):
         """(..., E) cell-raster array -> (..., EA) anchor raster (zero pad);
         used to re-raster the per-Newton-step linearization stream."""
@@ -268,21 +281,29 @@ class LatticeOps:
                 )
             acc[sub] = contrib if sub not in acc else acc[sub] + contrib
         d = self.dim
-        ash = self.anchor_shape
         n_sub = deg**d
-        # re-interleave by the inverse of the _parity_subs transpose (strided
-        # .at[::deg].set scatters serialize on TPU; the transpose does not)
         stacked = jnp.stack(
             [
                 acc.get(k, jnp.zeros(self.n_anchors, r.dtype))
                 for k in range(n_sub)
             ]
         )
-        V = stacked.reshape((deg,) * d + ash)
+        return self.subs_to_nodal(stacked)
+
+    def subs_to_nodal(self, subs):
+        """(deg^dim, EA) parity sub-lattices -> (n_padded,) nodal vector:
+        the exact inverse permutation of _parity_subs (re-interleave by
+        transpose — strided .at[::deg].set scatters serialize on TPU; the
+        transpose does not). Phantom sub entries are cropped, so their
+        content is irrelevant."""
+        deg = self.deg
+        d = self.dim
+        ash = self.anchor_shape
+        V = subs[: deg**d].reshape((deg,) * d + ash)
         # (r0, .., r_{d-1}, i0, .., i_{d-1}) -> (i0, r0, i1, r1, ...)
         perm = [x for a in range(d) for x in (d + a, a)]
         U = jnp.transpose(V, perm).reshape(tuple(deg * ash[a] for a in range(d)))
-        # crop the anchor padding (contributions there are phantom-masked)
+        # crop the anchor padding
         out = U[tuple(slice(0, s) for s in self.lat_shape)].reshape(-1)
         if self.n_dofs_padded > self.n_dofs:
             out = jnp.concatenate(

@@ -578,7 +578,8 @@ class NavierStokesOperator:
 
                 qt = stream_t(new_lin)
                 if (
-                    os.environ.get("ADAFLO_PALLAS_LAYOUT", "t") in ("pe", "pi")
+                    os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
+                    in ("pe", "pi", "pr")
                     and isinstance(self.lat_u, LatticeOps)
                     and not any(self.u_space.mesh.periodic)
                 ):
@@ -660,12 +661,12 @@ class NavierStokesOperator:
 
         par = self.parameters
         layout = os.environ.get("ADAFLO_PALLAS_LAYOUT", "t")
-        if layout in ("pe", "pi") and (
+        if layout in ("pe", "pi", "pr") and (
             any(self.u_space.mesh.periodic)
             or not isinstance(self.lat_u, LatticeOps)
         ):
             layout = "t"
-        if layout == "pi":
+        if layout in ("pi", "pr"):
             # the in-kernel-gather variant streams dofs only: whatever s_t
             # resolves to below must be the (dim n_u_loc, ·) dof stream
             n_su = self.dim * self.u_space.n_local
@@ -700,7 +701,7 @@ class NavierStokesOperator:
                 + [zp if p_res is None else self.lat_p.gather_pe(p_res)],
                 axis=0,
             )
-        elif layout == "pi":
+        elif layout in ("pi", "pr"):
             # in-kernel gather: only the parity sub-lattices ride HBM
             EA = self.lat_u.n_anchors
             n_sub_u = self.lat_u.deg ** self.dim
@@ -719,7 +720,7 @@ class NavierStokesOperator:
                 axis=0,
             )
         s_t = lin.qt if lin.qt is not None else stream_t(lin)
-        if layout in ("pe", "pi") and s_t.shape[-1] == E:
+        if layout in ("pe", "pi", "pr") and s_t.shape[-1] == E:
             # stream built on the cell raster (e.g. by a caller unaware of
             # the layout): re-raster per apply as a fallback; the residual
             # hook pre-rasters qt once per Newton step on this path
@@ -734,25 +735,28 @@ class NavierStokesOperator:
         if layout == "pi":
             from adaflo_tpu.ops.pallas_matvec import coupled_vmult_parity
 
-            rows_table = []
-            for c in range(self.dim):
-                rows_table += [
-                    (c * n_sub_u + s, off)
-                    for s, off in self.lat_u._parity_rows()
-                ]
-            rows_table += [
-                (self.dim * n_sub_u + s, off)
-                for s, off in self.lat_p._parity_rows()
-            ]
             out = coupled_vmult_parity(
                 x,
                 s_t,
                 self._pallas_tables,
                 scalars,
-                tuple(rows_table),
+                self._pr_rows_table(),
                 EA,
                 interpret=self._pallas_interpret,
             )
+        elif layout == "pr":
+            from adaflo_tpu.ops.pallas_matvec import coupled_vmult_pr
+
+            out = coupled_vmult_pr(
+                x,
+                s_t,
+                self._pallas_tables,
+                scalars,
+                self._pr_rows_table(),
+                EA,
+                self.lat_u.anchor_mask_dev(x.dtype),
+                interpret=self._pallas_interpret,
+            )[:, :EA]
         else:
             out = coupled_vmult_cells(
                 x,
@@ -765,7 +769,28 @@ class NavierStokesOperator:
                 # differs
                 layout="t" if layout == "pe" else layout,
             )
-        if layout in ("pe", "pi"):
+        if layout == "pr":
+            # the kernel already performed the overlap-add scatter; rows are
+            # the RESULT parity sub-lattices — only re-interleave
+            n_sub_u = self.lat_u.deg**self.dim
+            ru = jnp.stack(
+                [
+                    self.constraints_u[c].condense(
+                        self.lat_u.subs_to_nodal(
+                            out[c * n_sub_u : (c + 1) * n_sub_u]
+                        )
+                    )
+                    for c in range(self.dim)
+                ]
+            )
+            rp = (
+                None
+                if dp is None
+                else self.constraints_p.condense(
+                    self.lat_p.subs_to_nodal(out[self.dim * n_sub_u :])
+                )
+            )
+        elif layout in ("pe", "pi"):
             ru = jnp.stack(
                 [
                     self.constraints_u[c].condense(
@@ -814,6 +839,181 @@ class NavierStokesOperator:
                 )
             )
         return ru, rp
+
+    def _pr_rows_table(self):
+        """Static (sub-lattice row, anchor offset) per kernel x row for the
+        parity layouts: the velocity components' deg^dim sub-lattices
+        stacked first, then the pressure sub-lattices."""
+        rows = getattr(self, "_pr_rows", None)
+        if rows is None:
+            n_sub_u = self.lat_u.deg**self.dim
+            rows = []
+            for c in range(self.dim):
+                rows += [
+                    (c * n_sub_u + s, off)
+                    for s, off in self.lat_u._parity_rows()
+                ]
+            rows += [
+                (self.dim * n_sub_u + s, off)
+                for s, off in self.lat_p._parity_rows()
+            ]
+            rows = self._pr_rows = tuple(rows)
+        return rows
+
+    # ------------------------------------------------------------------
+    # Parity-RESIDENT coupled apply: the Krylov iterate lives in the packed
+    # parity layout across the whole solve, so a mat-vec is ONE fused Pallas
+    # kernel with no XLA-side gather/scatter passes at all (the round-2
+    # VERDICT's top item; the reference pays only ghost exchange per apply,
+    # navier_stokes.cc:1255-1317). Phantom positions are zero by
+    # construction, so elementwise ops and dot products on packed vectors
+    # equal their nodal counterparts — Krylov iterations compose freely.
+    # ------------------------------------------------------------------
+    def pr_supported(self) -> bool:
+        from adaflo_tpu.ops.lattice import LatticeOps
+
+        return (
+            self._pallas_tables is not None
+            and isinstance(self.lat_u, LatticeOps)
+            and not any(self.u_space.mesh.periodic)
+            and not self.augmented
+        )
+
+    def pr_pack(self, u, p=None):
+        """(u (dim, n), p (n_p)) -> packed parity vector (R_pad, L): the
+        per-component parity sub-lattices stacked (then pressure), rows
+        padded to a sublane multiple and columns to the resident length so
+        the apply's DMA windows never run off the end."""
+        from adaflo_tpu.ops.pallas_matvec import pr_params
+
+        EA = self.lat_u.n_anchors
+        rows = [self.lat_u._parity_subs(u[c]) for c in range(self.dim)]
+        rows.append(
+            jnp.zeros((self.lat_p.deg**self.dim, EA), u.dtype)
+            if p is None
+            else self.lat_p._parity_subs(p)
+        )
+        x = jnp.concatenate(rows, axis=0)
+        R_pad = -(-x.shape[0] // 8) * 8
+        _, _, _, L = pr_params(self._pr_rows_table(), EA)
+        return jnp.pad(x, ((0, R_pad - x.shape[0]), (0, L - x.shape[1])))
+
+    def pr_unpack(self, x):
+        """Packed parity vector -> (u (dim, n_padded), p (n_p_padded))."""
+        n_sub_u = self.lat_u.deg**self.dim
+        EA = self.lat_u.n_anchors
+        u = jnp.stack(
+            [
+                self.lat_u.subs_to_nodal(
+                    x[c * n_sub_u : (c + 1) * n_sub_u, :EA]
+                )
+                for c in range(self.dim)
+            ]
+        )
+        p = self.lat_p.subs_to_nodal(
+            x[self.dim * n_sub_u : self.dim * n_sub_u
+              + self.lat_p.deg**self.dim, :EA]
+        )
+        return u, p
+
+    def _pr_constants(self, dtype):
+        """Packed constraint masks and pressure-projection vectors (built
+        once; traced as constants inside jit)."""
+        cache = getattr(self, "_pr_cache", None)
+        if cache is not None:
+            return cache
+        import numpy as np
+
+        def pack_np(u_rows, p_row):
+            u = jnp.asarray(np.stack(u_rows), dtype)
+            p = jnp.asarray(p_row, dtype)
+            return self.pr_pack(u, p)
+
+        n_u = self.u_space.n_dofs_padded
+        n_p = self.p_space.n_dofs_padded
+        id_u = []
+        for c in range(self.dim):
+            m = np.zeros(n_u, np.float64)
+            cd = self.constraints_u[c].constrained_dofs
+            if len(cd):
+                m[np.asarray(cd)] = 1.0
+            id_u.append(m)
+        mp = np.zeros(n_p, np.float64)
+        cp = self.constraints_p.constrained_dofs
+        if len(cp):
+            mp[np.asarray(cp)] = 1.0
+        m_id = pack_np(id_u, mp)
+        # identity signs: +1 velocity rows, -1 pressure rows (cc:247-256)
+        m_signed = pack_np(id_u, -mp)
+        has_con = bool(max(len(self.constraints_p.constrained_dofs), *(
+            len(self.constraints_u[c].constrained_dofs)
+            for c in range(self.dim)
+        )))
+        proj = None
+        if self.pressure_fix_mode is not None:
+            # pressure-rows-only storage: the full packed (R_pad, L) form
+            # would be captured as two O(32 EA) literals in every trace
+            mode, weights, inv = self.pressure_fix_mode
+            proj = (
+                self.lat_p._parity_subs(jnp.asarray(mode, dtype)),
+                self.lat_p._parity_subs(jnp.asarray(weights, dtype)),
+                jnp.asarray(inv, dtype),
+            )
+        cache = self._pr_cache = (m_id, m_signed, has_con, proj)
+        return cache
+
+    def vmult_pr(self, x, tw: TimeWeights, lin: Linearized):
+        """Coupled mat-vec on packed parity vectors (pr_pack layout in and
+        out) — the parity-resident fast path of vmult. Semantics match
+        vmult exactly for lattice meshes without hanging nodes: constraint
+        resolution/condensation reduce to elementwise masks and the
+        identity rows / pressure-average projection are applied in packed
+        space."""
+        from adaflo_tpu.ops.pallas_matvec import coupled_vmult_pr
+
+        par = self.parameters
+        m_id, m_signed, has_con, proj = self._pr_constants(x.dtype)
+        xr = x * (1.0 - m_id) if has_con else x
+        s_t = lin.qt
+        if s_t is None or s_t.shape[0] != self.dim * self.u_space.n_local:
+            from adaflo_tpu.ops.pallas_matvec import qdofs_t
+
+            s_t = qdofs_t(lin)
+        if s_t.shape[-1] == self.u_space.mesh.n_cells:
+            s_t = self.lat_u.cells_to_anchors(s_t)
+        scalars = (
+            tw.weight * par.density - par.damping,
+            tw.tau1 * par.density,
+            par.beta_convective_term_momentum_balance,
+            tw.tau1 * par.viscosity,
+            par.tau_grad_div,
+        )
+        r = coupled_vmult_pr(
+            xr,
+            s_t,
+            self._pallas_tables,
+            scalars,
+            self._pr_rows_table(),
+            self.lat_u.n_anchors,
+            self.lat_u.anchor_mask_dev(x.dtype),
+            interpret=self._pallas_interpret,
+        )
+        # restore the resident column length (the kernel emits EA_pad)
+        if r.shape[1] < x.shape[1]:
+            r = jnp.pad(r, ((0, 0), (0, x.shape[1] - r.shape[1])))
+        if has_con:
+            r = r * (1.0 - m_id) + x * m_signed
+        if proj is not None and not (
+            par.linearization == Linearization.projection
+            or par.physical_type == PhysicalType.incompressible_stationary
+        ):
+            mode_p, w_p, inv = proj
+            p0 = self.dim * (self.lat_u.deg**self.dim)
+            p1 = p0 + self.lat_p.deg**self.dim
+            EA = self.lat_u.n_anchors
+            s = jnp.vdot(w_p, r[p0:p1, :EA])
+            r = r.at[p0:p1, :EA].add(-(s * inv) * mode_p)
+        return r
 
     def local_velocity_apply(
         self,

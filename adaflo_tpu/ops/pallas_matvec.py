@@ -233,6 +233,9 @@ def _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref):
     """Shared per-block math: convective Newton rows from (r, s) into n_ref,
     final out = M x + A_ic n. r/s: (dim(dim+1)g, B) u/u* values+gradients."""
     pt = dict(preferred_element_type=x.dtype)
+    prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
+    if prec:
+        pt["precision"] = getattr(jax.lax.Precision, prec.upper())
     parts = dim + 1
 
     def rows(block, part, c):
@@ -485,6 +488,186 @@ def coupled_vmult_cells(
         interpret=interpret,
     )(*consts, M89, A_ics, x_t, s_t)
     return out[:E] if natural else out[:, :E]
+
+
+def pr_params(rows_table, n_anchors: int, block: int | None = None):
+    """Static geometry of the parity-resident apply: (block, EA_pad, win,
+    L_need). win covers the largest scatter/gather offset beyond the block;
+    L_need is the minimum input column count so the last block's DMA window
+    never runs off the end."""
+    if block is None:
+        block = int(os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "4096"))
+    block = min(block, max(128, -(-n_anchors // 128) * 128))
+    EA_pad = -(-n_anchors // block) * block
+    max_off = max(off for _, off in rows_table)
+    win = block + -(-max_off // 128) * 128
+    L_need = EA_pad - block + win
+    return block, EA_pad, win, L_need
+
+
+def _kernel_pr(
+    g,
+    dim,
+    rows_table,
+    win,
+    block,
+    beta_ref,
+    Ae_ref,
+    Aev_ref,
+    M_ref,
+    Ai_ref,
+    mask_ref,
+    subs_hbm,
+    su_ref,
+    out_ref,
+    slab,
+    x_ref,
+    y_ref,
+    n_ref,
+    acc_ref,
+    sem,
+):
+    """Parity-RESIDENT fused apply: gather, compute AND scatter all live in
+    the kernel — the only HBM traffic is the packed parity vector in, the
+    bf16 linearization stream, and the packed parity result out (~min data
+    motion; the expanded (n_cols, E) block never rides HBM in either
+    direction).
+
+    Gather: per grid step one (R, win) slab DMA (double-buffered as in
+    _kernel_pi) + static shifted row slices into x_ref. Scatter: the
+    transpose — each result row overlap-adds into a ring accumulator at its
+    static (sub-row, anchor-offset); contributions of anchor a only ever
+    target columns >= a, so after block i the accumulator's first `block`
+    columns are complete: emit them, shift the ring left, continue. Phantom
+    anchors (cell coordinate == nc on any axis) are masked out of y before
+    accumulation, which keeps the parity-space zero-phantom invariant."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+    def copy_in(blk, s):
+        return pltpu.make_async_copy(
+            subs_hbm.at[:, pl.ds(blk * block, win)], slab.at[s], sem.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        copy_in(i, slot).start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i + 1 < nblk)
+    def _prefetch():
+        copy_in(i + 1, 1 - slot).start()
+
+    copy_in(i, slot).wait()
+    for k, (srow, off) in enumerate(rows_table):
+        x_ref[k, :] = slab[slot, srow, off : off + block]
+    beta = beta_ref[0]
+    x = x_ref[:]
+    prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
+    pt = dict(preferred_element_type=x.dtype)
+    if prec:
+        pt["precision"] = getattr(jax.lax.Precision, prec.upper())
+    r = jnp.dot(Ae_ref[:], x, **pt)
+    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
+    _block_core(g, dim, False, beta, x, r, s, M_ref, Ai_ref, n_ref, y_ref)
+    y_ref[:] = y_ref[:] * mask_ref[:]
+    for k, (srow, off) in enumerate(rows_table):
+        acc_ref[srow, off : off + block] += y_ref[k, :]
+    out_ref[:] = acc_ref[:, :block]
+    carry = acc_ref[:, block:win]
+    acc_ref[:, : win - block] = carry
+    acc_ref[:, win - block :] = jnp.zeros_like(acc_ref[:, win - block :])
+
+
+def coupled_vmult_pr(
+    subs,
+    s_t,
+    tables: MatvecTables,
+    scalars,
+    rows_table,
+    n_anchors: int,
+    mask,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    """Fused coupled apply, parity-resident: packed parity vector in ->
+    packed parity vector out (see _kernel_pr).
+
+    subs: (R, L) stacked parity sub-lattices on the anchor raster (R padded
+    to a sublane multiple by the caller or here; rows beyond the real subs
+    zero). s_t: (dim n_u_loc, EA) dof stream on the anchor raster. mask:
+    (EA,) or (1, EA) phantom-anchor mask (1 on real cells). Returns
+    (R_pad, EA_pad) — the caller crops or re-pads columns for composition."""
+    dtype = subs.dtype
+    n_cols = len(rows_table)
+    EA = n_anchors
+    block, EA_pad, win, L_need = pr_params(rows_table, EA, block)
+    R = subs.shape[0]
+    R_pad = -(-R // 8) * 8
+    if subs.shape[1] < L_need or R_pad != R:
+        subs = jnp.pad(
+            subs,
+            ((0, R_pad - R), (0, max(0, L_need - subs.shape[1]))),
+        )
+    if s_t.shape[-1] != EA_pad:
+        s_t = jnp.pad(s_t, ((0, 0), (0, EA_pad - s_t.shape[-1])))
+    mask = jnp.asarray(mask, dtype).reshape(1, -1)
+    if mask.shape[-1] != EA_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, EA_pad - mask.shape[-1])))
+
+    g = tables.g
+    dim = tables.dim
+    n_su = dim * tables.n_u_loc
+    assert s_t.shape[0] == n_su, "parity-resident kernel requires the dof stream"
+    Ae = jnp.asarray(tables.A_evg, dtype)
+    n_rows = Ae.shape[0]
+    M89, A_ics, beta = combine_linear(tables, scalars, dtype)
+    rep2 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_pr, g, dim, tuple(rows_table), win, block
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(EA_pad // block,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            rep2((n_rows, n_cols)),
+            rep2((n_rows, n_su)),
+            rep2((n_cols, n_cols)),
+            rep2((n_cols, dim * g)),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n_su, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R_pad, EA_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_pad, win), dtype),
+            pltpu.VMEM((n_cols, block), dtype),
+            pltpu.VMEM((n_cols, block), dtype),
+            pltpu.VMEM((dim * g, block), dtype),
+            pltpu.VMEM((R_pad, win), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        beta[None],
+        Ae,
+        jnp.asarray(tables.A_evg[:, :n_su], s_t.dtype),
+        M89,
+        A_ics,
+        mask,
+        subs,
+        s_t,
+    )
+    return out
 
 
 def coupled_vmult_parity(

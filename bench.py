@@ -85,16 +85,42 @@ end
     def make_chained(layout):
         """Per-layout jitted chain; the layout env var is read at trace
         time inside the operator, and the frozen-linearization stream is
-        pre-rastered exactly as the per-Newton-step production hook does."""
+        pre-rastered exactly as the per-Newton-step production hook does.
+
+        Layout "pr" times the parity-RESIDENT apply: the Krylov iterate
+        stays in the packed parity layout across the whole chain (pack /
+        unpack happen once, outside the timed loop) — exactly how the
+        resident solver path uses it. The constraint-identity rows and the
+        pressure-average projection are applied in packed space, so each
+        iteration is the full vmult equivalent."""
         os.environ["ADAFLO_PALLAS_LAYOUT"] = layout
         lin = lin_base
         if op._pallas_tables is not None:
             from adaflo_tpu.ops.pallas_matvec import stream_t
 
             qt = stream_t(lin_base)
-            if layout in ("pe", "pi"):
+            if layout in ("pe", "pi", "pr"):
                 qt = op.lat_u.cells_to_anchors(qt)
             lin = lin_base._replace(qt=qt)
+
+        if layout == "pr":
+            if not op.pr_supported():
+                raise RuntimeError("pr layout unsupported here")
+
+            @jax.jit
+            def chained_pr(u, p):
+                x = op.pr_pack(u, p)
+
+                def body(i, xx):
+                    r = op.vmult_pr(xx, tw, lin)
+                    s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
+                    return r * s
+
+                x = jax.lax.fori_loop(0, reps, body, x)
+                ru, rp = op.pr_unpack(x)
+                return jnp.sum(ru) + jnp.sum(rp)
+
+            return chained_pr
 
         @jax.jit
         def chained(u, p):
@@ -117,12 +143,12 @@ end
     layouts = (
         [layout_env]
         if layout_env
-        else (["t", "pe", "pi", "n"] if op._pallas_tables is not None else ["t"])
+        else (["pr", "t", "pi", "n"] if op._pallas_tables is not None else ["t"])
     )
-    # "pi" silently demotes to "pe" without the dof stream — timing it would
+    # "pi"/"pr" silently demote without the dof stream — timing them would
     # mislabel a second "pe" measurement
-    if os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") != "dofs" and "pi" in layouts:
-        layouts.remove("pi")
+    if os.environ.get("ADAFLO_PALLAS_STREAM", "dofs") != "dofs":
+        layouts = [l for l in layouts if l not in ("pi", "pr")] or ["t"]
     layout_ms = {}
     dt = float("inf")
     best_layout = layouts[0]
@@ -222,6 +248,24 @@ end
         },
     }
 
+    # -- north-star per-chip density: ~84^3 cells = 15.6M DoF (the
+    # BASELINE.json target talks 1e9 DoF on a v5p-64 = ~15.6M DoF/chip) ----
+    cells2 = int(os.environ.get("ADAFLO_BENCH_CELLS2", "84"))
+    if cells2 and dev.platform != "cpu":
+        try:
+            r2 = _matvec_time(cells2, best_layout, max(20, reps // 4))
+            result["n_dofs_ns"] = r2["n_dofs"]
+            result["ms_per_matvec_ns"] = r2["ms"]
+            result["dofs_per_s_ns"] = r2["n_dofs"] / (r2["ms"] / 1e3)
+            result["hbm_gbps_effective_ns"] = r2["bytes_min"] / (
+                r2["ms"] / 1e3
+            ) / 1e9
+            result["pct_hbm_roofline_ns"] = (
+                100.0 * result["hbm_gbps_effective_ns"] / hbm_peak_gbps
+            )
+        except Exception as ex:
+            result["north_star_error"] = f"{type(ex).__name__}: {ex}"
+
     # -- wall time per rising_bubble_ls timestep (BASELINE.json metric) ----
     if os.environ.get("ADAFLO_BENCH_RB", "1") != "0":
         try:
@@ -238,6 +282,87 @@ def _timed_call(fn) -> float:
     t0 = _time.perf_counter()
     fn()
     return _time.perf_counter() - t0
+
+
+def _matvec_time(cells: int, layout: str, reps: int) -> dict:
+    """One coupled mat-vec timing at a given mesh size and layout (the
+    second-size probe of the headline metric). Returns n_dofs, ms/apply and
+    the min-bytes basis."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaflo_tpu.fe.constraints import Constraints
+    from adaflo_tpu.fe.space import ScalarSpace
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.ops.navier_stokes import (
+        Linearized,
+        NavierStokesOperator,
+        TimeWeights,
+    )
+    from adaflo_tpu.parameters import FlowParameters
+
+    os.environ["ADAFLO_PALLAS_LAYOUT"] = layout
+    par = FlowParameters.from_string(
+        "subsection Navier-Stokes\n  set dimension = 3\n"
+        "  set velocity degree = 2\nend\n"
+    )
+    mesh = StructuredMesh((cells,) * 3, (0.0,) * 3, (1.0,) * 3)
+    us, ps = ScalarSpace(mesh, 2), ScalarSpace(mesh, 1)
+    cu = []
+    for _ in range(3):
+        c = Constraints(us.n_dofs)
+        c.close()
+        cu.append(c)
+    cp = Constraints(ps.n_dofs)
+    cp.close()
+    op = NavierStokesOperator(par, us, ps, cu, cp, dtype=jnp.float32)
+    n_dofs = 3 * us.n_dofs + ps.n_dofs
+    tw = TimeWeights(*(jnp.float32(v) for v in (30.0, -30.0, 0.0, 1.0)))
+    key = jax.random.PRNGKey(0)
+    u = jax.random.normal(key, (3, us.n_dofs), jnp.float32)
+    p = jax.random.normal(key, (ps.n_dofs,), jnp.float32)
+    ld = op._gather_u(u, resolve=False)
+    lv = op.ev_u.values(ld)
+    lg = op.ev_u.gradients(ld)
+    lin = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), ld)
+    from adaflo_tpu.ops.pallas_matvec import stream_t
+
+    qt = stream_t(lin)
+    if layout in ("pe", "pi", "pr"):
+        qt = op.lat_u.cells_to_anchors(qt)
+    lin = lin._replace(qt=qt)
+
+    if layout == "pr" and op.pr_supported():
+
+        @jax.jit
+        def chained(uu, pp):
+            x = op.pr_pack(uu, pp)
+
+            def body(i, xx):
+                r = op.vmult_pr(xx, tw, lin)
+                s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
+                return r * s
+
+            x = jax.lax.fori_loop(0, reps, body, x)
+            ru, rp = op.pr_unpack(x)
+            return jnp.sum(ru) + jnp.sum(rp)
+
+    else:
+
+        @jax.jit
+        def chained(uu, pp):
+            def body(i, carry):
+                ru, rp = op.vmult(carry[0], carry[1], tw, lin)
+                s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
+                return (ru * s, rp * s)
+
+            ru, rp = jax.lax.fori_loop(0, reps, body, (uu, pp))
+            return jnp.sum(ru) + jnp.sum(rp)
+
+    float(chained(u, p))
+    dt = min(_timed_call(lambda: float(chained(u, p))) for _ in range(3))
+    bytes_min = 2 * n_dofs * 4 + mesh.n_cells * 3 * us.n_local * 2
+    return {"n_dofs": n_dofs, "ms": dt / reps * 1e3, "bytes_min": bytes_min}
 
 
 def _rising_bubble_step_time() -> float:

@@ -48,7 +48,7 @@ end
 
 
 @pytest.mark.parametrize("dim,degree", [(3, 2), (2, 2), (3, 3)])
-@pytest.mark.parametrize("layout", ["t", "n", "pe", "pi"])
+@pytest.mark.parametrize("layout", ["t", "n", "pe", "pi", "pr"])
 @pytest.mark.parametrize("stream", ["qfields", "dofs"])
 def test_pallas_coupled_vmult_matches_einsum(
     monkeypatch, layout, stream, dim, degree
@@ -89,3 +89,20 @@ def test_pallas_coupled_vmult_matches_einsum(
     lin_nodofs = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), None)
     ru3, _ = op_pl.vmult(u, p, tw, lin_nodofs)
     assert float(jnp.abs(ru3 - ru2).max()) < 1e-12 * scale
+
+    # the parity-RESIDENT apply (packed vectors in and out across the
+    # whole Krylov solve) must match vmult after unpacking
+    if layout == "pr" and stream == "dofs" and op_pl.pr_supported():
+        x = op_pl.pr_pack(u, p)
+        r = op_pl.vmult_pr(x, tw, lin)
+        ru4, rp4 = op_pl.pr_unpack(r)
+        assert float(jnp.abs(ru4[:, : us.n_dofs] - ru2[:, : us.n_dofs]).max()) < 1e-12 * scale
+        assert float(jnp.abs(rp4[: ps.n_dofs] - rp2[: ps.n_dofs]).max()) < 1e-12 * scale
+        # composability: a second resident apply must equal
+        # pack(vmult(unpack)) — the padded tail stays consistent
+        r2 = op_pl.vmult_pr(r, tw, lin)
+        ru5, rp5 = op_pl.pr_unpack(r2)
+        ru6, rp6 = op_pl.vmult(ru4, rp4, tw, lin)
+        s2 = float(jnp.abs(ru6).max())
+        assert float(jnp.abs(ru5[:, : us.n_dofs] - ru6[:, : us.n_dofs]).max()) < 1e-12 * s2
+        assert float(jnp.abs(rp5[: ps.n_dofs] - rp6[: ps.n_dofs]).max()) < 1e-12 * s2
