@@ -171,6 +171,27 @@ class LevelSetOperators:
             # normal-operator damping (damping_scale_factor = 4,
             # compute_normal.h:66) coincides with projection_damping here
 
+        # residual-based artificial-viscosity stabilization of the
+        # advection equation (adv.cc:344-369 per-cell viscosity, 420-474
+        # volume terms, 569-620 boundary-flux correction)
+        self.stabilization = bool(
+            getattr(parameters, "convection_stabilization", False)
+        )
+        if self.stabilization:
+            if (
+                self.is_forest
+                or self.is_mapped
+                or self.is_simplex
+                or getattr(ls_space, "is_extruded", False)
+            ):
+                raise NotImplementedError(
+                    "convection stabilization is implemented for uniform "
+                    "lattice meshes; unset it or use a uniform mesh"
+                )
+            # diameter_on_coarse_grid of a hyper-rectangle = its diagonal
+            self.omega_diameter = float(np.linalg.norm(mesh.lengths))
+            self._stab_faces = self._build_stab_faces()
+
         # interpolation of the concentration space onto pressure support
         # points (level_set_base.cc:65-137), for grad-pressure-compatible
         # surface tension: (n_p_local, n_ls_local)
@@ -246,8 +267,81 @@ class LevelSetOperators:
         return self.lat_ls.scatter_add(diag_loc)
 
     # -- advection (adv.cc:288-397, 217-258) ----------------------------
-    def advection_rhs(self, c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_old_old):
-        """Returns (rhs, evaluated_convection (E, dim, n_q))."""
+    def _build_stab_faces(self):
+        """Per boundary face (axis, side): the constant local matrix
+        T[i, j] = sum_qf phi_i (n . grad phi_j) w JxW of the stabilization
+        boundary-flux correction (adv.cc:569-620), plus the boundary-cell
+        mask on the cell raster. Symmetry faces are excluded (the reference
+        skips them) via the mesh's boundary-id bookkeeping by the caller
+        passing symmetry ids to set_stab_symmetry_faces."""
+        mesh = self.ls_space.mesh
+        basis = self.ls_space.basis
+        pts, wts = iterated_gauss_quadrature(self.subdiv, 2)
+        V1, _ = basis.tabulate(pts)
+        Ve, De = basis.tabulate(np.array([0.0, 1.0]))
+        d = self.dim
+        h = np.asarray(mesh.h, np.float64)
+        faces = {}
+        for a in range(d):
+            for side in (0, 1):
+                mats_phi, mats_dn, wlist = [], [], []
+                # kron order: slowest (z) axis first, x last — matching the
+                # lexicographic x-fastest local dof flattening
+                for b in reversed(range(d)):
+                    if b == a:
+                        mats_phi.append(Ve[side : side + 1, :])
+                        mats_dn.append(De[side : side + 1, :] / h[a])
+                    else:
+                        mats_phi.append(V1)
+                        mats_dn.append(V1)
+                        wlist.append(wts * h[b])
+                Phi, Dn = mats_phi[0], mats_dn[0]
+                for mp_, md_ in zip(mats_phi[1:], mats_dn[1:]):
+                    Phi = np.kron(Phi, mp_)
+                    Dn = np.kron(Dn, md_)
+                wf = wlist[0] if wlist else np.ones(1)
+                for w2 in wlist[1:]:
+                    wf = np.kron(wf, w2)
+                sign = -1.0 if side == 0 else 1.0
+                T = (Phi * wf[:, None]).T @ (sign * Dn)
+                cshape = tuple(reversed(mesh.n_cells_axis))
+                m = np.zeros(cshape, np.float64)
+                idx = [slice(None)] * d
+                idx[d - 1 - a] = 0 if side == 0 else mesh.n_cells_axis[a] - 1
+                m[tuple(idx)] = 1.0
+                faces[(a, side)] = (jnp.asarray(T), jnp.asarray(m.reshape(-1)))
+        return faces
+
+    def set_stab_symmetry_faces(self, axis_sides) -> None:
+        """Drop the stabilization boundary term on symmetry faces
+        (adv.cc:432-434): axis_sides = iterable of (axis, side)."""
+        if self.stabilization:
+            for key in axis_sides:
+                self._stab_faces.pop(tuple(key), None)
+
+    def _stab_face_term(self, c_loc, nu_art):
+        """(E, n_loc) local dofs -> (E, n_loc) boundary flux
+        T(v)_i = sum_faces \\oint phi_i (n . nu grad v) dS."""
+        out = jnp.zeros_like(c_loc)
+        for T, m in self._stab_faces.values():
+            out = out + (m * nu_art)[:, None] * (c_loc @ T.T)
+        return out
+
+    def advection_rhs(
+        self,
+        c,
+        c_old,
+        c_old_old,
+        u,
+        u_old,
+        u_old_old,
+        tw,
+        bdf2_old_old,
+        old_dt=None,
+    ):
+        """Returns (rhs, evaluated_convection (E, dim, n_q), nu_art) where
+        nu_art is the per-cell artificial viscosity (None when convection
+        stabilization is off, adv.cc:344-369)."""
         cc = self._gather_ls(c)
         co = self._gather_ls(c_old)
         coo = self._gather_ls(c_old_old)
@@ -258,6 +352,40 @@ class LevelSetOperators:
         uc = jnp.stack([self.lat_u.gather(u[d]) for d in range(self.dim)], axis=1)
         u_val = self.ev_u_lsq.values(uc)  # (E, dim, n_q)
 
+        nu_art = None
+        if self.stabilization:
+            co_grad = self.ev_ls.gradients(co)
+            coo_grad = self.ev_ls.gradients(coo)
+            uo = jnp.stack(
+                [self.lat_u.gather(u_old[d]) for d in range(self.dim)], axis=1
+            )
+            uoo = jnp.stack(
+                [self.lat_u.gather(u_old_old[d]) for d in range(self.dim)],
+                axis=1,
+            )
+            u_sum = self.ev_u_lsq.values(uo) + self.ev_u_lsq.values(uoo)
+            dt_safe = jnp.maximum(jnp.asarray(old_dt, co_val.dtype), 1e-30)
+            dc_dt = (co_val - coo_val) / dt_safe
+            resid = jnp.abs(
+                dc_dt
+                + 0.25
+                * jnp.einsum("edq,edq->eq", u_sum, co_grad + coo_grad)
+            )
+            max_res = jnp.max(resid, axis=-1)  # (E,)
+            max_vel = jnp.max(
+                jnp.sqrt(jnp.sum(u_sum * u_sum, axis=1)), axis=-1
+            )
+            # global max velocity at the SAME quadrature (the reference's
+            # get_maximal_velocity over the current velocity, adv.cc:548-551)
+            gmax = jnp.max(jnp.sqrt(jnp.sum(u_val * u_val, axis=1)))
+            scaling = jnp.maximum(gmax * 2.0 * self.omega_diameter, 1e-30)
+            nu_art = (
+                0.03
+                * max_vel
+                * self.cell_diameter
+                * jnp.minimum(1.0, max_res / scaling)
+            )
+
         old_value = tw.weight_old * co_val
         if bdf2_old_old:
             old_value = old_value + tw.weight_old_old * coo_val
@@ -266,17 +394,29 @@ class LevelSetOperators:
             + jnp.einsum("edq,edq->eq", u_val, c_grad)
             + old_value
         )
-        rhs = self._scatter_ls(self.ev_ls.integrate_values(residual), self.con_ls)
-        return rhs, u_val
+        r_cells = self.ev_ls.integrate_values(residual)
+        if nu_art is not None:
+            r_cells = r_cells + self.ev_ls.integrate_gradients(
+                -nu_art[:, None, None] * c_grad
+            )
+            r_cells = r_cells + self._stab_face_term(cc, nu_art)
+        rhs = self._scatter_ls(r_cells, self.con_ls)
+        return rhs, u_val, nu_art
 
-    def advection_vmult(self, dc, evaluated_convection, tw, mass_diag):
-        """(v, w dc + u* . grad dc); constrained rows get the mass diagonal
-        (adv.cc:476-479)."""
+    def advection_vmult(self, dc, evaluated_convection, tw, mass_diag, nu_art=None):
+        """(v, w dc + u* . grad dc) (+ stabilization terms, adv.cc:246-257 &
+        420-474); constrained rows get the mass diagonal (adv.cc:476-479)."""
         cc = self._gather_ls(dc, self.con_ls)
         val = self.ev_ls.values(cc)
         grad = self.ev_ls.gradients(cc)
         res = val * tw.weight + jnp.einsum("edq,edq->eq", evaluated_convection, grad)
-        out = self._scatter_ls(self.ev_ls.integrate_values(res), self.con_ls)
+        r_cells = self.ev_ls.integrate_values(res)
+        if nu_art is not None:
+            r_cells = r_cells + self.ev_ls.integrate_gradients(
+                nu_art[:, None, None] * grad
+            )
+            r_cells = r_cells - self._stab_face_term(cc, nu_art)
+        out = self._scatter_ls(r_cells, self.con_ls)
         cd = self.con_ls.constrained_dofs
         if len(cd):
             out = out.at[cd].set(mass_diag[cd] * dc[cd])

@@ -88,11 +88,16 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         dim = self.mesh.dim
 
         @jax.jit
-        def advect_fn(c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_flag, abs_tol):
-            rhs, conv = ops.advection_rhs(
-                c, c_old, c_old_old, u, u_old, u_old_old, tw, True
+        def advect_fn(
+            c, c_old, c_old_old, u, u_old, u_old_old, tw, bdf2_flag, abs_tol,
+            old_dt,
+        ):
+            rhs, conv, nu_art = ops.advection_rhs(
+                c, c_old, c_old_old, u, u_old, u_old_old, tw, True, old_dt
             )
-            A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag)
+            A = lambda x: ops.advection_vmult(
+                x, conv, tw, self.mass_diag, nu_art
+            )
             M = lambda r: self.inv_mass_diag * r
             res = bicgstab(A, rhs, None, abs_tol, 30, M=M)
             rhs_norm = jnp.sqrt(jnp.vdot(rhs, rhs).real)
@@ -193,6 +198,7 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             tw,
             abs_tol,
             dtau_inv,
+            old_dt,
             actual_diff,
             stab_steps,
         ):
@@ -203,7 +209,8 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             per-step (iterations, update-norm, valid) history comes back for
             the verbose log, so the printed output is identical."""
             inc, a_iters, rhs_norm = advect_fn(
-                c, c_old, c_old_old, u, u_old, u_old_old, tw, True, abs_tol
+                c, c_old, c_old_old, u, u_old, u_old_old, tw, True, abs_tol,
+                old_dt,
             )
             c = c + self.constraints_ls.distribute(inc)
             n = actual_diff + stab_steps
@@ -325,6 +332,7 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             tw,
             bdf2_flag,
             abs_tol,
+            jnp.float64(ts.old_step_size()),
         )
         inc = self.constraints_ls.distribute(inc)
         self.solution[0] = self.solution[0] + inc
@@ -461,6 +469,7 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
                 tw,
                 abs_tol,
                 jnp.float64(dtau_inv),
+                jnp.float64(ts.old_step_size()),
                 actual_diff,
                 par.n_reinit_steps,
             )

@@ -115,7 +115,7 @@ class LevelSetSolver:
     def advance_concentration(self, tw: TimeWeights, bdf2_flag: bool) -> None:
         ops = self.ops
         ns = self.ns
-        rhs, conv = ops.advection_rhs(
+        rhs, conv, nu_art = ops.advection_rhs(
             self.solution,
             self.solution_old,
             self.solution_old_old,
@@ -124,8 +124,9 @@ class LevelSetSolver:
             ns.solution_old_old[0],
             tw,
             bdf2_flag,
+            jnp.float64(self.ns.time_stepping.old_step_size()),
         )
-        A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag)
+        A = lambda x: ops.advection_vmult(x, conv, tw, self.mass_diag, nu_art)
         M = lambda r: self.inv_mass_diag * r
         tol = jnp.float64(0.05 * self.parameters.tol_nl_iteration)
         res = bicgstab(A, rhs, None, tol, 30, M=M)

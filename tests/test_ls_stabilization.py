@@ -1,0 +1,136 @@
+"""Residual-based artificial-viscosity stabilization of the LS advection
+equation (level_set_okz_advance_concentration.cc:344-369 per-cell viscosity,
+420-474 volume terms, 569-620 boundary-flux correction).
+
+The discrete identity under test: for a LINEAR concentration field and a
+spatially constant artificial viscosity, the volume term (grad phi, nu grad c)
+minus the boundary-flux correction \\oint phi (n . nu grad c) integrates by
+parts to -(phi, nu lap c) = 0 — interior-face fluxes cancel by continuity.
+This pins the face matrices (normals, signs, JxW) against the volume kernel
+without needing the reference binary.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaflo_tpu.fe.constraints import Constraints
+from adaflo_tpu.fe.space import ScalarSpace
+from adaflo_tpu.mesh.structured import StructuredMesh
+from adaflo_tpu.ops.level_set import LevelSetOperators
+from adaflo_tpu.ops.navier_stokes import TimeWeights
+from adaflo_tpu.parameters import FlowParameters
+
+
+def _make_ops(dim, stabilization=True):
+    par = FlowParameters.from_string(
+        f"""
+subsection Two phase
+  set concentration subdivisions = 2
+  set convection stabilization = {int(stabilization)}
+  set epsilon = 1.5
+end
+subsection Navier-Stokes
+  set dimension = {dim}
+  set velocity degree = 2
+end
+"""
+    )
+    if dim == 2:
+        mesh = StructuredMesh((4, 3), (0.0, 0.0), (1.0, 1.2))
+    else:
+        mesh = StructuredMesh((3, 2, 2), (0.0,) * 3, (1.0, 1.2, 0.8))
+    sub = par.concentration_subdivisions
+    ls_space = ScalarSpace(mesh, sub, support="iso_q1")
+    u_space = ScalarSpace(mesh, par.velocity_degree)
+    p_space = ScalarSpace(mesh, par.velocity_degree - 1)
+    cons = []
+    for sp in (ls_space, ls_space, ls_space):
+        c = Constraints(sp.n_dofs)
+        c.close()
+        cons.append(c)
+    h = float(np.max(mesh.h))
+    eps_used = par.epsilon * h / sub
+    return par, LevelSetOperators(
+        par,
+        ls_space,
+        u_space,
+        p_space,
+        cons[0],
+        cons[1],
+        cons[2],
+        eps_used,
+        h,
+        float(np.min(mesh.h)),
+    )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_stab_terms_annihilate_linear_fields(dim):
+    par, ops = _make_ops(dim)
+    ls = ops.ls_space
+    coords = np.asarray(ls.node_coords)
+    a = np.arange(1, dim + 1, dtype=np.float64)
+    c = jnp.asarray(coords @ a + 0.7)
+    cc = ops._gather_ls(c)
+    grad = ops.ev_ls.gradients(cc)
+    nu = jnp.ones(ls.mesh.n_cells)
+    vol = ops.ev_ls.integrate_gradients(nu[:, None, None] * grad)
+    face = ops._stab_face_term(cc, nu)
+    total = ops.lat_ls.scatter_add(vol - face)
+    assert float(jnp.abs(total).max()) < 1e-12
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_stab_viscosity_formula_and_vmult(dim):
+    """nu_art follows adv.cc:361-369 (0.03 * max_vel * h * min(1, res/scal))
+    and the stabilized vmult stays linear + consistent with the rhs terms."""
+    par, ops = _make_ops(dim)
+    ls, us = ops.ls_space, ops.u_space
+    key_c = np.random.default_rng(3)
+    n, nu_ = ls.n_dofs, us.n_dofs
+    c = jnp.asarray(key_c.standard_normal(n) * 0.1)
+    c_old = jnp.asarray(key_c.standard_normal(n) * 0.1)
+    c_oo = jnp.asarray(key_c.standard_normal(n) * 0.1)
+    u = jnp.asarray(key_c.standard_normal((dim, nu_)))
+    tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
+    rhs, conv, nu_art = ops.advection_rhs(
+        c, c_old, c_oo, u, u, u, tw, True, jnp.float64(0.05)
+    )
+    assert nu_art is not None and nu_art.shape == (ls.mesh.n_cells,)
+    assert bool(jnp.all(jnp.isfinite(nu_art))) and float(nu_art.max()) > 0
+    # the cap: nu <= 0.03 * max_vel_cell * h
+    u_sum_max = float(
+        jnp.max(jnp.sqrt(jnp.sum((2 * conv) ** 2, axis=1)))
+    )
+    assert float(nu_art.max()) <= 0.03 * u_sum_max * ops.cell_diameter + 1e-14
+    # vmult linearity with the frozen nu_art
+    md = ops.lumped_mass()
+    x1 = jnp.asarray(key_c.standard_normal(n))
+    x2 = jnp.asarray(key_c.standard_normal(n))
+    a1 = ops.advection_vmult(x1, conv, tw, md, nu_art)
+    a2 = ops.advection_vmult(x2, conv, tw, md, nu_art)
+    a12 = ops.advection_vmult(x1 + 2.0 * x2, conv, tw, md, nu_art)
+    assert float(jnp.abs(a12 - a1 - 2.0 * a2).max()) < 1e-9 * float(
+        jnp.abs(a12).max()
+    )
+    # stabilization really changes the operator
+    a_nostab = ops.advection_vmult(x1, conv, tw, md, None)
+    assert float(jnp.abs(a1 - a_nostab).max()) > 1e-10
+
+
+def test_stab_rejected_on_nonuniform_meshes():
+    """Loud failure instead of a silent no-op on unsupported mesh kinds."""
+    from adaflo_tpu.mesh.forest import ForestMesh
+
+    par = FlowParameters.from_string(
+        """
+subsection Two phase
+  set convection stabilization = 1
+end
+subsection Navier-Stokes
+  set dimension = 2
+end
+"""
+    )
+    assert par.convection_stabilization
