@@ -522,7 +522,6 @@ def _kernel_pr(
     out_ref,
     slab,
     x_ref,
-    y_ref,
     n_ref,
     acc_ref,
     sem,
@@ -570,10 +569,13 @@ def _kernel_pr(
         pt["precision"] = getattr(jax.lax.Precision, prec.upper())
     r = jnp.dot(Ae_ref[:], x, **pt)
     s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
-    _block_core(g, dim, False, beta, x, r, s, M_ref, Ai_ref, n_ref, y_ref)
-    y_ref[:] = y_ref[:] * mask_ref[:]
+    # the result block reuses x_ref as scratch (x is fully consumed as a
+    # loaded value before the store) — a separate y buffer pushed the
+    # kernel's scoped VMEM 448KB past the 16MB limit at block 4096
+    _block_core(g, dim, False, beta, x, r, s, M_ref, Ai_ref, n_ref, x_ref)
+    x_ref[:] = x_ref[:] * mask_ref[:]
     for k, (srow, off) in enumerate(rows_table):
-        acc_ref[srow, off : off + block] += y_ref[k, :]
+        acc_ref[srow, off : off + block] += x_ref[k, :]
     out_ref[:] = acc_ref[:, :block]
     carry = acc_ref[:, block:win]
     acc_ref[:, : win - block] = carry
@@ -650,7 +652,6 @@ def coupled_vmult_pr(
         out_shape=jax.ShapeDtypeStruct((R_pad, EA_pad), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, R_pad, win), dtype),
-            pltpu.VMEM((n_cols, block), dtype),
             pltpu.VMEM((n_cols, block), dtype),
             pltpu.VMEM((dim * g, block), dtype),
             pltpu.VMEM((R_pad, win), dtype),

@@ -103,16 +103,18 @@ end
                 qt = op.lat_u.cells_to_anchors(qt)
             lin = lin_base._replace(qt=qt)
 
+        # `lin` rides as a jit ARGUMENT (embedded-literal trap, see
+        # _matvec_time)
         if layout == "pr":
             if not op.pr_supported():
                 raise RuntimeError("pr layout unsupported here")
 
             @jax.jit
-            def chained_pr(u, p):
+            def chained_pr(u, p, ll):
                 x = op.pr_pack(u, p)
 
                 def body(i, xx):
-                    r = op.vmult_pr(xx, tw, lin)
+                    r = op.vmult_pr(xx, tw, ll)
                     s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
                     return r * s
 
@@ -120,13 +122,13 @@ end
                 ru, rp = op.pr_unpack(x)
                 return jnp.sum(ru) + jnp.sum(rp)
 
-            return chained_pr
+            return chained_pr, lin
 
         @jax.jit
-        def chained(u, p):
+        def chained(u, p, ll):
             def body(i, carry):
                 uu, pp = carry
-                ru, rp = op.vmult(uu, pp, tw, lin)
+                ru, rp = op.vmult(uu, pp, tw, ll)
                 # keep magnitudes bounded (and the loop body non-foldable)
                 s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
                 return (ru * s, rp * s)
@@ -134,7 +136,7 @@ end
             ru, rp = jax.lax.fori_loop(0, reps, body, (u, p))
             return jnp.sum(ru) + jnp.sum(rp)
 
-        return chained
+        return chained, lin
 
     # autotune the HBM layout of the Pallas fast path unless pinned:
     # "t" (transposed window-split), "pe" (parity anchor raster), "n"
@@ -154,10 +156,11 @@ end
     best_layout = layouts[0]
     for layout in layouts:
         try:
-            chained = make_chained(layout)
-            float(chained(u, p))  # compile + warmup (forced readback)
+            chained, lin_arg = make_chained(layout)
+            float(chained(u, p, lin_arg))  # compile + warmup (forced readback)
             dt_l = min(
-                _timed_call(lambda: float(chained(u, p))) for _ in range(3)
+                _timed_call(lambda: float(chained(u, p, lin_arg)))
+                for _ in range(3)
             )
         except Exception as ex:  # a failing variant must not kill the bench
             layout_ms[layout] = f"{type(ex).__name__}"
@@ -332,14 +335,17 @@ def _matvec_time(cells: int, layout: str, reps: int) -> dict:
         qt = op.lat_u.cells_to_anchors(qt)
     lin = lin._replace(qt=qt)
 
+    # `lin` rides as a jit ARGUMENT: captured device arrays are embedded
+    # as literal constants in the lowered program (~100MB of MLIR at 84^3,
+    # which OOMs the compile helper)
     if layout == "pr" and op.pr_supported():
 
         @jax.jit
-        def chained(uu, pp):
+        def chained(uu, pp, ll):
             x = op.pr_pack(uu, pp)
 
             def body(i, xx):
-                r = op.vmult_pr(xx, tw, lin)
+                r = op.vmult_pr(xx, tw, ll)
                 s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
                 return r * s
 
@@ -350,17 +356,17 @@ def _matvec_time(cells: int, layout: str, reps: int) -> dict:
     else:
 
         @jax.jit
-        def chained(uu, pp):
+        def chained(uu, pp, ll):
             def body(i, carry):
-                ru, rp = op.vmult(carry[0], carry[1], tw, lin)
+                ru, rp = op.vmult(carry[0], carry[1], tw, ll)
                 s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(ru * ru)), 1e-30)
                 return (ru * s, rp * s)
 
             ru, rp = jax.lax.fori_loop(0, reps, body, (uu, pp))
             return jnp.sum(ru) + jnp.sum(rp)
 
-    float(chained(u, p))
-    dt = min(_timed_call(lambda: float(chained(u, p))) for _ in range(3))
+    float(chained(u, p, lin))
+    dt = min(_timed_call(lambda: float(chained(u, p, lin))) for _ in range(3))
     bytes_min = 2 * n_dofs * 4 + mesh.n_cells * 3 * us.n_local * 2
     return {"n_dofs": n_dofs, "ms": dt / reps * 1e3, "bytes_min": bytes_min}
 
