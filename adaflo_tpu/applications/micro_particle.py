@@ -170,7 +170,10 @@ def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     paramfile = argv[0] if argv else "micro_particle.prm"
     parameters = TwoPhaseParameters.from_file(paramfile)
-    MicroFluidicProblem(parameters).run()
+    problem = MicroFluidicProblem(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,10 @@ def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     paramfile = argv[0] if argv else "couette.prm"
     parameters = FlowParameters.from_file(paramfile)
-    CouetteProblem(parameters).run()
+    problem = CouetteProblem(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,10 @@ def main(argv=None) -> None:
     paramfile = argv[0] if argv else "1d_flow.prm"
     parameters = FlowParameters.from_file(paramfile)
     assert parameters.dimension == 1
-    ChannelFlow(parameters).run()
+    problem = ChannelFlow(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

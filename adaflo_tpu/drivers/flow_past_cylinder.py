@@ -128,7 +128,10 @@ def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     paramfile = argv[0] if argv else "flow_past_cylinder.prm"
     parameters = FlowParameters.from_file(paramfile)
-    FlowPastCylinder(parameters).run()
+    problem = FlowPastCylinder(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

@@ -112,7 +112,10 @@ def main(argv=None) -> None:
     paramfile = argv[0] if argv else "channel.prm"
     parameters = FlowParameters.from_file(paramfile)
     assert parameters.dimension == 2, "2D only, like the reference driver"
-    ChannelProblem(parameters).run()
+    problem = ChannelProblem(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

@@ -96,7 +96,10 @@ def main(argv=None) -> None:
     paramfile = argv[0] if argv else "sharp_interfaces_04.prm"
     parameters = TwoPhaseParameters.from_file(paramfile)
     # extend the selection for the sharp-interface methods
-    MicroFluidicProblem(parameters).run()
+    problem = MicroFluidicProblem(parameters)
+    problem.run()
+    from adaflo_tpu.utils.timer import print_wall_times
+    print_wall_times(parameters, problem)
 
 
 if __name__ == "__main__":

@@ -589,7 +589,11 @@ class NavierStokes(FlowBaseAlgorithm):
                 f"{fmt_g(ts.previous())} to t = {fmt_g(ts.now())} "
                 f"(dt = {fmt_g(ts.step_size())}). "
             )
-        self.apply_boundary_conditions()
+        # section name matches the reference's TimerOutput scope
+        # (navier_stokes.cc "NS apply boundary conditions.") so the
+        # `output wall times` summary is comparable line-for-line
+        with self.timer.section("NS apply boundary conditions."):
+            self.apply_boundary_conditions()
 
     def _projection_pressure_extrapolation(self) -> None:
         """p* = p + 4/3 phi^n - 1/3 phi^{n-1} bookkeeping
@@ -889,6 +893,10 @@ class NavierStokes(FlowBaseAlgorithm):
 
     # ------------------------------------------------------------------
     def solve_nonlinear_system(self, initial_residual: float):
+        with self.timer.section("NS solve system."):
+            return self._solve_nonlinear_system(initial_residual)
+
+    def _solve_nonlinear_system(self, initial_residual: float):
         par = self.parameters
         ts = self.time_stepping
         step = 0

@@ -577,7 +577,14 @@ class NavierStokesPreconditioner:
         cc:449-454); the rhs and the preconditioned residuals must then stay
         in the projected subspace, or the diagonal preconditioner feeds the
         null component back and the CG iterates blow up (observed 1e17 on
-        adapted forests, silently eating ~4 digits on uniform lattices)."""
+        adapted forests, silently eating ~4 digits on uniform lattices).
+
+        precondition_pressure selects the mass approximation exactly as the
+        reference does (ns_prec.cc:958-971): p_mass_ilu -> the inner CG
+        solve (our matrix-free ILU-grade replacement); p_mass_diag -> one
+        inverse-lumped-diagonal application, no inner solve."""
+        from adaflo_tpu.parameters import PressurePreconditioner
+
         op = self.op
         mA = lambda p: op.pressure_mass_vmult(p, st.mass_coefficient)
         dinv = DiagonalPreconditioner(st.mass_diag_w).inverse
@@ -591,6 +598,12 @@ class NavierStokesPreconditioner:
             M = lambda r: proj(dinv * r)
         else:
             M = lambda r: dinv * r
+        if (
+            self.parameters.precondition_pressure
+            == PressurePreconditioner.p_mass_diag
+            and not self.parameters.augmented_taylor_hood
+        ):
+            return M(rp)
         return cg(
             mA,
             rp,

@@ -530,11 +530,17 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
 
     def advance_time_step(self):
         """One two-phase step (level_set_base.cc:188-291)."""
-        self.init_time_advance()
-        self._advance_concentration_and_reinit()
-
         ns = self.navier_stokes
-        actual_res = self._fused_force_and_initial_residual()
+        self.init_time_advance()
+        # wall-time sections for the `output wall times` summary; the fused
+        # dispatches cover what the reference splits into "LS advance
+        # concentration." / "LS reinitialization step." / "LS compute
+        # force." TimerOutput scopes
+        with ns.timer.section("LS advance concentration + reinit."):
+            self._advance_concentration_and_reinit()
+
+        with ns.timer.section("LS compute force."):
+            actual_res = self._fused_force_and_initial_residual()
         ts = self.time_stepping
         if (
             ts.step_no() > 3 + self.last_smoothing_step

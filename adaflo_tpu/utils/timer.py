@@ -96,3 +96,22 @@ class Statistics:
         for rec in self.counters.values():
             rec[0] = 0
             rec[1] = 0.0
+
+
+def print_wall_times(parameters, problem, out=None) -> None:
+    """End-of-run wall-time summary, printed when `output wall times` is
+    set — the reference's TimerOutput::summary destructor output
+    (navier_stokes.cc:133-136, two_phase_base.cc:80-84). The timer lives on
+    the NS solver; two-phase problems reach it through .solver."""
+    if not getattr(parameters, "output_wall_times", False):
+        return
+    ns = getattr(problem, "navier_stokes", None)
+    if ns is None:
+        solver = getattr(problem, "solver", None)
+        if solver is not None:
+            ns = getattr(solver, "navier_stokes", solver)
+    timer = getattr(ns, "timer", None)
+    if timer is not None:
+        import sys
+
+        timer.summary(out or getattr(problem, "out", None) or sys.stdout)
