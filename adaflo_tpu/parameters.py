@@ -263,6 +263,17 @@ class FlowParameters:
         self.global_refinements = prm.get_integer("global refinements")
         self.adaptive_refinements = prm.get_integer("adaptive refinements")
         self.use_anisotropic_refinement = prm.get_integer("anisotropic refinement") > 0
+        if self.use_anisotropic_refinement:
+            # deal.II tensor cells can split along one axis only; the Morton
+            # forest here refines isotropically. The flag's only other
+            # effect is a damping rescale inside the matrix-based LS solver
+            # (level_set_okz_matrix.cc:646-649), which maps onto the
+            # matrix-free path. Fail loudly rather than silently run an
+            # isotropic mesh the user didn't ask for.
+            raise PrmError(
+                "'anisotropic refinement' is not supported: mesh adaptation "
+                "is isotropic (2:1 Morton forest); unset the flag"
+            )
         self.use_simplex_mesh = prm.get_integer("simplex mesh") > 0
         self.velocity_degree = prm.get_integer("velocity degree")
         if self.velocity_degree <= 1:
@@ -332,6 +343,9 @@ class FlowParameters:
         self.epsilon = prm.get_double("epsilon")
         self.diffusion_length = prm.get_double("diffusion length")
         self.contact_angle = prm.get_double("contact angle")
+        # parsed for prm-tree parity; dead in the reference as well
+        # (parameters.cc:565 stores it, nothing reads it — drivers choose
+        # whether to fix the pressure constant via the API instead)
         self.pressure_constraint = prm.get_integer("pressure constraint") > 0
         if self.diffusion_length <= 0:
             raise PrmError("Diffusion length must be positive")
@@ -359,6 +373,9 @@ class FlowParameters:
         self.time_step_size_start = prm.get_double("step size")
         self.time_stepping_cfl = prm.get_double("CFL number")
         self.time_stepping_coef2 = prm.get_double("CFL number capillary")
+        # parsed for prm-tree parity; dead in the reference as well
+        # (time_stepping.h:52 stores it in TimeSteppingParameters, the
+        # implementation never reads it)
         self.time_step_tolerance = prm.get_double("tolerance")
         self.time_step_size_max = prm.get_double("max step size")
         self.time_step_size_min = prm.get_double("min step size")

@@ -58,6 +58,19 @@ class NavierStokes(FlowBaseAlgorithm):
         super().__init__()
         self.parameters = parameters
         self.mesh = mesh
+        if getattr(parameters, "use_simplex_mesh", False):
+            # `set simplex mesh = 1` selects simplex FE spaces in the
+            # reference (navier_stokes.cc:92-98); here the mesh family is
+            # the carrier of that choice, so the flag must agree with it
+            from adaflo_tpu.mesh.unstructured import TriMesh
+
+            if not isinstance(mesh, TriMesh):
+                raise NotImplementedError(
+                    "'simplex mesh = 1' requires a simplex (triangle) mesh; "
+                    "this driver builds a tensor-product mesh. Use the "
+                    "simplex drivers (simplex_channel, simplex_bubble) or "
+                    "provide a Gmsh .msh simplex mesh."
+                )
         self.pad_dofs_to = pad_dofs_to
         self.time_stepping = TimeStepping(parameters)
         self.out = out

@@ -238,6 +238,15 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             advect_reinit_fn, static_argnames=("actual_diff", "stab_steps")
         )
 
+        # `surface tension from heaviside = 0` sources the surface-tension
+        # gradient and the variable coefficients from 0.5*(c+1) instead of
+        # the discrete heaviside — one substitution reproduces both the
+        # reference's 0.5 gradient factor and its 0.5*(c+1) densities
+        # (level_set_okz_matrix.cc:197-209, 265-287)
+        st_from_heaviside = getattr(
+            par, "surface_tension_from_heaviside", True
+        )
+
         @jax.jit
         def force_fn(heaviside, curvature):
             return ops.compute_force(heaviside, curvature)
@@ -278,7 +287,8 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             if par.curvature_correction:
                 kappa = self._curvature_correction(kappa, c)
             h = heaviside_fn(c)
-            user_u, rho_q, mu_q = force_fn(h, kappa)
+            h_force = h if st_from_heaviside else 0.5 * (c + 1.0)
+            user_u, rho_q, mu_q = force_fn(h_force, kappa)
             for comp in range(dim):
                 user_u = user_u.at[comp].set(
                     ns.constraints_u[comp].condense(user_u[comp])
@@ -347,6 +357,16 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             )
 
     def compute_normal(self, fast: bool) -> None:
+        if getattr(self.parameters, "approximate_projections", False):
+            # reference parity: the approximate (mass-diagonal) normal
+            # projection was removed upstream and hard-fails at the same
+            # point (level_set_okz_compute_normal.cc:227 AssertThrow
+            # ExcNotImplemented)
+            raise NotImplementedError(
+                "'approximate projections' is not implemented (the reference "
+                "asserts ExcNotImplemented here too); unset it to use the "
+                "full projection solves"
+            )
         reduction = 1e-5 if fast else 1e-7
         nv, _ = self._normal_fn(
             self.solution[0], self.normal_vector_field, jnp.float64(reduction)
@@ -423,7 +443,12 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         self.compute_heaviside()
         self.compute_curvature()
         ns = self.navier_stokes
-        user_u, rho_q, mu_q = self._force_fn(self.heaviside, self.solution[1])
+        h_force = (
+            self.heaviside
+            if getattr(self.parameters, "surface_tension_from_heaviside", True)
+            else 0.5 * (self.solution[0] + 1.0)
+        )
+        user_u, rho_q, mu_q = self._force_fn(h_force, self.solution[1])
         # condense like distribute_local_to_global: hanging-slave rows move
         # to their masters, constrained rows read zero (on uniform meshes
         # this is plain zeroing of the Dirichlet rows, as before)

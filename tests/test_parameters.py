@@ -123,3 +123,40 @@ def test_velocity_degree_one_rejected():
         FlowParameters.from_string(
             "subsection Navier-Stokes\n set velocity degree = 1\nend"
         )
+
+
+def test_anisotropic_refinement_rejected():
+    """Isotropic-only mesh adaptation: the flag must fail loudly at parse
+    time rather than silently run an isotropic mesh (the reference's only
+    consumer is the matrix-based LS damping, level_set_okz_matrix.cc:646)."""
+    with pytest.raises(PrmError):
+        FlowParameters.from_string(
+            "subsection Navier-Stokes\n set anisotropic refinement = 1\nend"
+        )
+
+
+def test_simplex_mesh_flag_requires_simplex_mesh():
+    """'simplex mesh = 1' with a tensor-product mesh must raise (the flag
+    selects simplex FE construction in the reference, navier_stokes.cc:92)."""
+    import numpy as np
+
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
+
+    par = FlowParameters.from_string(
+        "subsection Navier-Stokes\n set dimension = 2\n"
+        " set simplex mesh = 1\n set velocity degree = 2\nend"
+    )
+    mesh = StructuredMesh((2, 2), (0.0, 0.0), (1.0, 1.0))
+    with pytest.raises(NotImplementedError):
+        NavierStokes(par, mesh)
+
+
+def test_approximate_projections_raises_like_reference():
+    """The reference hard-fails in compute_normal when approximate
+    projections are requested (level_set_okz_compute_normal.cc:227)."""
+    par = FlowParameters.from_string(
+        "subsection Navier-Stokes\n set dimension = 2\nend\n"
+        "subsection Two phase\n set approximate projections = 1\nend"
+    )
+    assert par.approximate_projections is True
