@@ -76,11 +76,14 @@ def shard_solver_state(
 
     from adaflo_tpu.ops.lattice import IndexMapOps
 
-    periodic = any(getattr(ns.mesh, "periodic", [False]))
-    if explicit_halo and not periodic:
+    if explicit_halo:
         # explicit shard_map halo pipeline for the cell loops of both spaces
-        # (the LatticeOps fast path and the forest index maps alike; the
-        # periodic wrap stays on the GSPMD path for now)
+        # (the LatticeOps fast path and the forest index maps alike).
+        # Periodic meshes need no special casing: the wrap is baked into
+        # space.cell_dofs (periodic dofs are identified in the numbering),
+        # so the wrap edge is just one more ring offset in the generic
+        # ghost layout — e.g. device 0 referencing dofs owned by device
+        # D-1 appears as offset D-1 and rides the same ppermute ring.
         from adaflo_tpu.parallel.halo import HaloOps
 
         for name, space in (("lat_u", ns.u_space), ("lat_p", ns.p_space)):
