@@ -34,7 +34,7 @@ import numpy as np
 
 from adaflo_tpu.fe.basis import basis as make_basis
 from adaflo_tpu.ops.lattice import LatticeOps
-from adaflo_tpu.ops.tensor import CellEvaluator
+from adaflo_tpu.ops.tensor import CellEvaluator, VariableCellEvaluator
 
 
 class LevelState(NamedTuple):
@@ -58,6 +58,22 @@ class _LevelGeom:
     mask: np.ndarray  # constrained dof indices (static)
     lat: LatticeOps = None
     P1d: List[np.ndarray] = field(default_factory=list)  # per-axis (n_f, n_c)
+    axis_widths: Optional[List[np.ndarray]] = None  # graded axes only
+
+
+def _outer_widths(widths: List[np.ndarray], n_cells_axis) -> np.ndarray:
+    """(E, dim) per-cell extents from per-axis width arrays (lexicographic
+    cell order, x fastest) — the diagonal-Jacobian geometry of a graded
+    tensor lattice."""
+    dim = len(n_cells_axis)
+    out = np.empty((int(np.prod(n_cells_axis)), dim))
+    for a in range(dim):
+        shape = [1] * dim
+        shape[dim - 1 - a] = -1
+        out[:, a] = np.broadcast_to(
+            widths[a].reshape(shape), tuple(reversed(n_cells_axis))
+        ).reshape(-1)
+    return out
 
 
 def _q1_cell_dofs(n_cells_axis, n_nodes_axis):
@@ -82,18 +98,26 @@ def _q1_cell_dofs(n_cells_axis, n_nodes_axis):
     return out.astype(np.int32)
 
 
-def _interp_1d(n_fine_cells: int) -> np.ndarray:
+def _interp_1d(n_fine_cells: int, widths: Optional[np.ndarray] = None) -> np.ndarray:
     """(n_fine_nodes, n_coarse_nodes) linear interpolation between nested
-    lattices (fine has 2x cells)."""
+    lattices (fine has 2x cells). On a graded axis the odd fine node sits at
+    the TRUE relative position t = w[2i]/(w[2i]+w[2i+1]) inside its coarse
+    cell (uniform: t = 0.5), so prolongation interpolates the coarse
+    piecewise-linear function exactly — the geometric analog of the
+    reference's ML-AMG handling any graded mesh through the assembled
+    matrix (navier_stokes_preconditioner.cc:465-562)."""
     nc = n_fine_cells // 2 + 1
     nf = n_fine_cells + 1
     P = np.zeros((nf, nc))
     for i in range(nc):
         P[2 * i, i] = 1.0
-        if 2 * i + 1 < nf:
-            P[2 * i + 1, i] = 0.5
-        if 2 * i - 1 >= 0:
-            P[2 * i - 1, i] = 0.5
+    for i in range(nc - 1):
+        if widths is None:
+            t = 0.5
+        else:
+            t = widths[2 * i] / (widths[2 * i] + widths[2 * i + 1])
+        P[2 * i + 1, i] = 1.0 - t
+        P[2 * i + 1, i + 1] = t
     return P
 
 
@@ -112,7 +136,13 @@ class LatticeGMG:
         n_dofs_padded: int,
         smoother_degree: int = 3,
         min_coarse_nodes: int = 700,
+        axis_widths: Optional[List[np.ndarray]] = None,
     ) -> None:
+        """axis_widths: per-axis arrays of fine-Q1-lattice cell widths for
+        GRADED tensor meshes (len = n_nodes_axis[a] - 1); when given it
+        overrides the uniform h_fine_axis and every level carries real
+        geometry (VariableCellEvaluator, width-weighted transfers and
+        coefficient averaging)."""
         dim = len(n_nodes_axis)
         self.dim = dim
         self.n_dofs_padded = n_dofs_padded
@@ -121,24 +151,48 @@ class LatticeGMG:
 
         levels: List[_LevelGeom] = []
         n_cells_axis = tuple(n - 1 for n in n_nodes_axis)
-        h = np.asarray(h_fine_axis, dtype=np.float64)
+        h = (
+            np.asarray(h_fine_axis, dtype=np.float64)
+            if h_fine_axis is not None
+            else None
+        )
+        widths = (
+            [np.asarray(w, dtype=np.float64) for w in axis_widths]
+            if axis_widths is not None
+            else None
+        )
+        if widths is not None:
+            for a in range(dim):
+                assert len(widths[a]) == n_cells_axis[a], (
+                    f"axis {a}: {len(widths[a])} widths vs "
+                    f"{n_cells_axis[a]} lattice cells"
+                )
         mask = np.asarray(dirichlet, dtype=np.int64)
         nodes_axis = tuple(n_nodes_axis)
         while True:
-            ev = CellEvaluator(dim, q1, 2, h)
+            if widths is not None:
+                ev = VariableCellEvaluator(
+                    dim, q1, 2, _outer_widths(widths, n_cells_axis)
+                )
+            else:
+                ev = CellEvaluator(dim, q1, 2, h)
             cd = _q1_cell_dofs(n_cells_axis, nodes_axis)
             lat = LatticeOps(
                 nodes_axis, n_cells_axis, 1, (False,) * dim,
                 int(np.prod(nodes_axis)),
             )
             lev = _LevelGeom(nodes_axis, n_cells_axis, jnp.asarray(cd), ev, mask, lat)
+            lev.axis_widths = widths
             levels.append(lev)
             can_coarsen = all(c % 2 == 0 and c >= 2 for c in n_cells_axis) and (
                 int(np.prod(nodes_axis)) > min_coarse_nodes
             )
             if not can_coarsen:
                 break
-            lev.P1d = [_interp_1d(c) for c in n_cells_axis]
+            lev.P1d = [
+                _interp_1d(c, widths[a] if widths is not None else None)
+                for a, c in enumerate(n_cells_axis)
+            ]
             fine_mask = np.zeros(int(np.prod(nodes_axis)), dtype=bool)
             fine_mask[mask] = True
             fm = fine_mask.reshape(tuple(reversed(nodes_axis)))
@@ -147,7 +201,10 @@ class LatticeGMG:
             mask = np.flatnonzero(fm.reshape(-1))
             n_cells_axis = tuple(c // 2 for c in n_cells_axis)
             nodes_axis = tuple(c + 1 for c in n_cells_axis)
-            h = h * 2.0
+            if widths is not None:
+                widths = [w[0::2] + w[1::2] for w in widths]
+            else:
+                h = h * 2.0
         self.levels = levels
         self.coarse_n = int(np.prod(levels[-1].n_nodes_axis))
         self.direct_coarse = self.coarse_n <= 4096
@@ -171,8 +228,8 @@ class LatticeGMG:
                 v = w / jnp.maximum(lam, 1e-30)
             states.append(LevelState(al, be, diag, lam))
             if li + 1 < len(self.levels):
-                al = self._coarsen_cells(al, lev.n_cells_axis)
-                be = self._coarsen_cells(be, lev.n_cells_axis)
+                al = self._coarsen_cells(al, lev)
+                be = self._coarsen_cells(be, lev)
         coarse_matrix = None
         if self.direct_coarse:
             coarse = self.levels[-1]
@@ -182,15 +239,25 @@ class LatticeGMG:
             coarse_matrix = jnp.transpose(cols)
         return GMGState(tuple(states), coarse_matrix)
 
-    def _coarsen_cells(self, x, n_cells_axis):
+    def _coarsen_cells(self, x, lev: _LevelGeom):
+        """Volume-weighted coefficient averaging onto the next level
+        (width-weighted per axis; uniform meshes reduce to plain means)."""
         if x.ndim == 0:
             return x
-        xx = x.reshape(tuple(reversed(n_cells_axis)))
+        xx = x.reshape(tuple(reversed(lev.n_cells_axis)))
         for a in range(self.dim):
-            xx = 0.5 * (
-                jnp.take(xx, jnp.arange(0, xx.shape[a], 2), axis=a)
-                + jnp.take(xx, jnp.arange(1, xx.shape[a], 2), axis=a)
-            )
+            even = jnp.take(xx, jnp.arange(0, xx.shape[a], 2), axis=a)
+            odd = jnp.take(xx, jnp.arange(1, xx.shape[a], 2), axis=a)
+            if lev.axis_widths is None:
+                xx = 0.5 * (even + odd)
+            else:
+                # tensor axis a is the REVERSED physical axis
+                w = lev.axis_widths[self.dim - 1 - a]
+                shape = [1] * self.dim
+                shape[a] = -1
+                w0 = jnp.asarray(w[0::2]).reshape(shape)
+                w1 = jnp.asarray(w[1::2]).reshape(shape)
+                xx = (w0 * even + w1 * odd) / (w0 + w1)
         return xx.reshape(-1)
 
     # -- operator application --------------------------------------------

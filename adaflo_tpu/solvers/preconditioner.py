@@ -286,26 +286,46 @@ class NavierStokesPreconditioner:
             return
         mesh = op.u_space.mesh
         if getattr(mesh, "is_graded", False):
-            # graded tensor meshes: the uniform-lattice GMG model does not
-            # apply; Chebyshev/Jacobi (+ inner-solve fallback) throughout
-            self.use_gmg = False
-            self.u_gmg_geom = None
-            self.p_gmg_geom = None
-            return
+            # graded tensor meshes: each space's dof lattice carries the
+            # REAL per-axis widths (cell width / degree, nodal points are
+            # equidistant within a cell) — the GMG levels then coarsen
+            # through the construction history with width-weighted
+            # transfers (reference bar: ML-AMG covers any mesh through the
+            # assembled matrix, navier_stokes_preconditioner.cc:465-562)
+            def graded_widths(degree):
+                ws = []
+                for a in range(mesh.dim):
+                    w = np.repeat(np.diff(mesh.axis_nodes(a)), degree) / degree
+                    if mesh.periodic[a]:
+                        # periodic lattice: nodes = cells*deg, the GMG's
+                        # non-wrapping level model drops the seam cell
+                        w = w[:-1]
+                    ws.append(w)
+                return ws
+
+            u_widths = graded_widths(parameters.velocity_degree)
+            p_widths = graded_widths(max(parameters.pressure_degree, 1))
+            h_u = h_p = None
+        else:
+            u_widths = p_widths = None
+            h_u = mesh.h / parameters.velocity_degree
+            h_p = mesh.h / max(parameters.pressure_degree, 1)
         self.u_gmg_geom = [
             LatticeGMG(
                 op.u_space.n_nodes_axis,
-                mesh.h / parameters.velocity_degree,
+                h_u,
                 op.constraints_u[c].constrained_dofs,
                 op.u_space.n_dofs_padded,
+                axis_widths=u_widths,
             )
             for c in range(op.dim)
         ] if self.use_gmg else None
         self.p_gmg_geom = LatticeGMG(
             op.p_space.n_nodes_axis,
-            mesh.h / max(parameters.pressure_degree, 1),
+            h_p,
             constraints_schur.constrained_dofs,
             op.p_space.n_dofs_padded,
+            axis_widths=p_widths,
         ) if parameters.pressure_degree >= 1 else None
 
     # -- build ----------------------------------------------------------

@@ -157,6 +157,14 @@ CASES = [
 
 SLOW_CASES = [
     (
+        # the FULL 3200-cell rising_bubble_ls run (50 steps), compared line
+        # for line — not just the step-1 anchor of test_golden_ns
+        "rb_ls_full",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls.prm",
+        "rising_bubble_ls.output",
+    ),
+    (
         "spurious_ls_3d",
         "adaflo_tpu.drivers.spurious_currents",
         "spurious_currents_ls_3d_short.prm",
