@@ -1,0 +1,106 @@
+"""Weak-scaling evidence on the virtual CPU device mesh (VERDICT r2 #7).
+
+Fixed cells per device, D = 1/2/4/8 devices: per-step wall time (one full
+NS time step after warm-up; CPU-virtual, so the numbers evidence compiled
+sharding structure, not chip performance), per-apply halo bytes from the
+HaloOps pack maps (the analytic collective-permute payload), and the
+ghost-to-owned ratio.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python scripts/weak_scaling.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+CELLS_PER_DEVICE = 32  # 2D cells per device (8x4 tile)
+
+
+def build(n_cells_x, pad):
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.parameters import FlowParameters
+    from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
+
+    par = FlowParameters.from_string(
+        """
+subsection Time stepping
+  set end time = 10
+  set step size = 0.05
+end
+subsection Navier-Stokes
+  set dimension = 2
+  set global refinements = 0
+  set velocity degree = 2
+  subsection Solver
+    set NL max iterations = 3
+    set NL tolerance = 1.e-9
+    set lin max iterations = 60
+    set lin tolerance = 1.e-6
+  end
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+    )
+    m = StructuredMesh.subdivided_hyper_rectangle(
+        (n_cells_x, 4), (0.0, 0.0), (float(n_cells_x) / 4.0, 1.0)
+    )
+    ns = NavierStokes(par, m, pad_dofs_to=pad)
+    ns.set_velocity_dirichlet_boundary(
+        0, lambda x, t: np.stack([x[:, 1] * (1 - x[:, 1]), 0 * x[:, 0]])
+    )
+    ns.fix_pressure_constant(0)
+    ns.setup_problem()
+    return ns
+
+
+def halo_bytes(halo) -> int:
+    """Collective-permute payload of ONE gather + ONE scatter (bytes, f64):
+    every offset ships its padded pack slab in both directions."""
+    per_dir = sum(halo.ghost_counts.values()) * halo.n_devices * 8
+    return 2 * per_dir
+
+
+def main():
+    from adaflo_tpu.parallel.halo import HaloOps
+    from adaflo_tpu.parallel.sharding import shard_solver_state, solver_mesh
+
+    print(f"{'D':>2} {'cells':>6} {'dofs':>8} {'step_ms':>9} "
+          f"{'halo_B/apply':>12} {'ghost/owned':>11}")
+    for D in (1, 2, 4, 8):
+        ns = build(CELLS_PER_DEVICE * D // 4, pad=8)
+        shard_solver_state(
+            ns, solver_mesh(jax.devices()[:D]), explicit_halo=True
+        )
+        lat_u = ns.operator.lat_u
+        hb = gr = 0.0
+        if isinstance(lat_u, HaloOps) and D > 1:
+            hb = halo_bytes(lat_u) + halo_bytes(ns.operator.lat_p)
+            gr = lat_u.n_ghost / lat_u.dofs_per_device
+        ns.advance_time_step()  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ns.advance_time_step()
+            times.append(time.perf_counter() - t0)
+        n_dofs = 2 * ns.u_space.n_dofs + ns.p_space.n_dofs
+        print(
+            f"{D:>2} {ns.mesh.n_cells:>6} {n_dofs:>8} "
+            f"{min(times)*1e3:>9.1f} {int(hb):>12} {gr:>11.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -399,3 +399,46 @@ def test_halo_sharded_periodic_ns_step_matches_single_device():
     p = np.asarray(ns.solution[1])[: p_ref.shape[0]]
     assert np.abs(u - u_ref).max() < 1e-9
     assert np.abs(p - p_ref).max() < 1e-8
+
+
+def test_halo_two_phase_step_collectives_are_permute_only():
+    """Compile-level ICI-efficiency assertion on the FULL fused two-phase
+    dispatches (round-2 asserted only the bare gather/scatter roundtrip):
+    the sharded advect+reinit, force+residual and Newton-solve programs
+    contain ring collective-permutes (the halo) and all-reduce (Krylov dot
+    products) but NO all-gather / all-to-all — ghost traffic stays
+    O(halo)."""
+    from adaflo_tpu.parallel.sharding import (
+        shard_two_phase_state,
+        solver_mesh,
+    )
+
+    _mesh8()
+    tp = _small_two_phase(pad=8)
+    shard_two_phase_state(tp, solver_mesh(jax.devices()[:8]))
+
+    captured = {}
+    targets = [
+        (tp, "_advect_reinit_fn"),
+        (tp, "_force_residual_fn"),
+        (tp.navier_stokes, "_solve_res_fn"),
+    ]
+    for obj, name in targets:
+        real = getattr(obj, name)
+
+        def make(real=real, name=name):
+            def wrapper(*a, **kw):
+                captured.setdefault(name, (real, a, kw))
+                return real(*a, **kw)
+
+            return wrapper
+
+        setattr(obj, name, make())
+    tp.advance_time_step()
+    for obj, name in targets:
+        assert name in captured, f"{name} not dispatched in the step"
+        real, a, kw = captured[name]
+        hlo = real.lower(*a, **kw).compile().as_text()
+        assert "collective-permute" in hlo, name
+        assert "all-gather" not in hlo, name
+        assert "all-to-all" not in hlo, name
