@@ -26,6 +26,23 @@ import jax as _jax
 if not _os.environ.get("ADAFLO_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the solver pipelines are large jitted
+# programs (full two-phase steps), and re-runs of the same driver/test
+# configuration pay the full XLA compile each process otherwise. Opt out
+# with ADAFLO_TPU_NO_COMPILE_CACHE=1; relocate with ADAFLO_JAX_CACHE_DIR.
+if not _os.environ.get("ADAFLO_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "ADAFLO_JAX_CACHE_DIR", "/tmp/adaflo_jax_cache"
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # cache everything, however quick the compile: this host pays a
+        # fixed per-compile tunnel/CPU cost that dwarfs the disk read
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these knobs
+
 # Honor JAX_PLATFORMS even where a TPU plugin force-overrides the env var
 # (pinning through jax.config before backend init always wins); CLI users
 # select e.g. JAX_PLATFORMS=cpu for f64 runs on hosts whose TPU lacks f64.
