@@ -85,11 +85,13 @@ class MicroFluidicProblem:
 
             self.solver = LevelSetOKZSolver(parameters, self.mesh, out=out)
         elif method == "level set okz matrix":
-            # the matrix-based variant is superseded by the matrix-free path;
-            # the option maps onto the same solver (SURVEY.md section 7 item 9)
-            from adaflo_tpu.twophase.level_set_okz import LevelSetOKZSolver
+            from adaflo_tpu.twophase.level_set_okz_matrix import (
+                LevelSetOKZMatrixSolver,
+            )
 
-            self.solver = LevelSetOKZSolver(parameters, self.mesh, out=out)
+            self.solver = LevelSetOKZMatrixSolver(
+                parameters, self.mesh, out=out
+            )
         elif method == "phase field":
             from adaflo_tpu.twophase.phase_field import PhaseFieldSolver
 

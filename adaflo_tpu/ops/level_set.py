@@ -245,13 +245,16 @@ class LevelSetOperators:
         ones = jnp.ones((self.ls_space.mesh.n_cells, self.n_q))
         return self._scatter_ls(self.ev_ls.integrate_values(ones))
 
-    def projection_diagonal(self):
+    def projection_diagonal(self, damping=None):
         """Exact diagonal of the projection operator (mass + damped
-        Laplacian), for Chebyshev/Jacobi."""
+        Laplacian), for Chebyshev/Jacobi. `damping` overrides the default
+        projection damping (the matrix-based OKZ variant uses different
+        constants, level_set_okz_matrix.cc:646-649, 750-753)."""
         E = self.ls_space.mesh.n_cells
         n_loc = self.ls_space.n_local
         units = jnp.eye(n_loc)
-        damping = self.projection_damping
+        if damping is None:
+            damping = self.projection_damping
 
         def apply_unit(unit):
             pc = jnp.broadcast_to(unit[None], (E, n_loc))
@@ -429,13 +432,15 @@ class LevelSetOperators:
         r = self.ev_ls.integrate_values(grad)  # batch over (E, dim)
         return self._scatter_nrm(r, self.con_nrm)
 
-    def projection_vmult_block(self, nv):
+    def projection_vmult_block(self, nv, damping=None):
         """Projection operator applied to a (dim, n) block field."""
+        if damping is None:
+            damping = self.projection_damping
         cc = self._gather_nrm(nv, self.con_nrm)
         val = self.ev_ls.values(cc)
         grad = self.ev_ls.gradients(cc)
         r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
-            self._percell(self.projection_damping, grad)
+            self._percell(damping, grad)
         )
         out = self._scatter_nrm(r, self.con_nrm)
         cd = self.con_nrm.constrained_dofs
@@ -443,12 +448,14 @@ class LevelSetOperators:
             out = out.at[:, cd].set(nv[:, cd])
         return out
 
-    def projection_vmult_scalar(self, kappa):
+    def projection_vmult_scalar(self, kappa, damping=None):
+        if damping is None:
+            damping = self.projection_damping
         cc = self._gather_ls(kappa, self.con_curv)
         val = self.ev_ls.values(cc)
         grad = self.ev_ls.gradients(cc)
         r = self.ev_ls.integrate_values(val) + self.ev_ls.integrate_gradients(
-            self._percell(self.projection_damping, grad)
+            self._percell(damping, grad)
         )
         out = self._scatter_ls(r, self.con_curv)
         cd = self.con_curv.constrained_dofs

@@ -328,17 +328,22 @@ class TwoPhaseBaseAlgorithm:
         )
 
     @staticmethod
-    def _simplex_value_table(space, n_sub: int):
+    def _simplex_value_table(space, n_points: int):
         """Dense (n_pts, n_local) value tabulation of a SimplexSpace element
         at the equidistant barycentric lattice (incl. vertices/edges — so
         min/max diagnostics see the extremal boundary values, matching the
-        reference's equidistant point sets, two_phase_base.cc:487)."""
+        reference's equidistant point sets, two_phase_base.cc:487).
+
+        `n_points` counts POINTS per edge (like the quad path's
+        equidistant_points argument), i.e. n_points-1 subdivisions — the
+        reference's QIterated(deg+1 / deg+2 subdivisions) point-set parity."""
+        n_sub = max(n_points - 1, 1)
         ij = [
             (i, j)
             for i in range(n_sub + 1)
             for j in range(n_sub + 1 - i)
         ]
-        pts = np.asarray(ij, dtype=float) / max(n_sub, 1)
+        pts = np.asarray(ij, dtype=float) / n_sub
         V, _ = space.element.tabulate(pts)
         return jnp.asarray(V)
 

@@ -16,6 +16,15 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(HERE))
 
+# goldens are generated in the exact test environment: f64 on the CPU
+# backend (tests/conftest.py) — the axon TPU plugin force-overrides
+# JAX_PLATFORMS, so pin through jax.config and initialize NOW
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.devices()
+
 
 def main():
     module_name, prm, golden = sys.argv[1:4]

@@ -30,8 +30,17 @@ def _run(module_name: str, prm: str, golden: str):
         # ADAFLO_MESH_DIR (the reference reads it from the source dir);
         # simplex_channel_small deliberately uses the generated fallback
         # mesh, so the variable is scoped to this case only
+        mesh_dir = os.environ.get("ADAFLO_MESH_DIR", "/root/reference/tests")
+        if not list(Path(mesh_dir).glob("simplex_bubble_*.msh")):
+            # without the .msh the driver would silently fall back to a
+            # generated mesh and the golden compare would fail with an
+            # opaque numeric diff — skip with a clear message instead
+            pytest.skip(
+                f"simplex_bubble_*.msh not found in {mesh_dir} "
+                "(set ADAFLO_MESH_DIR to the reference tests dir)"
+            )
         env_mesh_dir = os.environ.get("ADAFLO_MESH_DIR")
-        os.environ["ADAFLO_MESH_DIR"] = "/root/reference/tests"
+        os.environ["ADAFLO_MESH_DIR"] = mesh_dir
     try:
         text = run_driver_capture(mod.main, str(HERE / "prms" / prm))
     finally:
