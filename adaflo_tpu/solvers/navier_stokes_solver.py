@@ -421,6 +421,123 @@ class NavierStokes(FlowBaseAlgorithm):
             solve_res_fn, static_argnames=("do_inner", "max_iter", "u_robust")
         )
 
+        # Fused Newton LOOP: the entire nonlinear iteration — linear
+        # tolerance policy (navier_stokes.cc:851-868), two-stage linear
+        # solve, solution update, fresh residual and convergence control —
+        # in ONE dispatch (lax.while_loop), with a per-iteration history so
+        # the host prints the exact residual table afterwards. The loop
+        # exits early when the preconditioner-staleness heuristic
+        # (cc:869-880) is about to trigger; the host rebuilds and re-enters.
+        coupled = par.linearization in (
+            Linearization.coupled_implicit_newton,
+            Linearization.coupled_implicit_picard,
+        )
+        if coupled:
+            max_nl = par.max_nl_iteration
+            cheap_iters = min(
+                par.iterations_before_inner_solvers, par.max_lin_iteration
+            )
+            stage2_iters = max(
+                par.max_lin_iteration - par.iterations_before_inner_solvers, 0
+            ) or par.max_lin_iteration
+            tol_nl = float(par.tol_nl_iteration)
+            tol_lin = float(par.tol_lin_iteration)
+            rel_lin = bool(par.rel_lin_iteration)
+
+            def newton_loop_fn(
+                u, p, ru, rp, lin, res0, tw, state, const_u, const_p,
+                user_u, user_p, coeffs, ex, u_old, u_old_old,
+                stale_budget, remaining, u_robust,
+            ):
+                rdt = res0.dtype
+
+                def lin_tolerance(res):
+                    if not rel_lin:
+                        return jnp.asarray(tol_lin, rdt)
+                    return jnp.where(
+                        res * tol_lin < 0.5 * tol_nl,
+                        jnp.asarray(0.5 * tol_nl, rdt),
+                        jnp.minimum(tol_lin * res, tol_lin).astype(rdt),
+                    )
+
+                hist0 = (
+                    jnp.zeros((max_nl,), jnp.int32),   # lin iterations
+                    jnp.zeros((max_nl,), rdt),          # lin residual
+                    jnp.zeros((max_nl,), rdt),          # |du|
+                    jnp.zeros((max_nl,), rdt),          # |dp|
+                    jnp.zeros((max_nl,), rdt),          # new nonlinear res
+                    jnp.zeros((max_nl,), rdt),          # new res (u part)
+                    jnp.zeros((max_nl,), rdt),          # new res (p part)
+                )
+                du0 = jnp.zeros_like(u)
+                dp0 = jnp.zeros_like(p)
+                k0 = jnp.int32(0)
+                carry0 = (k0, k0, u, p, ru, rp, lin, res0, du0, dp0, hist0)
+
+                def cond(c):
+                    k, tot = c[0], c[1]
+                    res = c[7]
+                    # always run the first iteration (the reference's loop
+                    # only tests convergence after a solve); stop on
+                    # convergence, iteration budget, or the staleness
+                    # heuristic about to trigger at this iteration's start
+                    return (
+                        ((k == 0) | (res >= tol_nl))
+                        & (k < remaining)
+                        & (tot.astype(rdt) <= stale_budget)
+                    )
+
+                def body(c):
+                    k, tot, u, p, ru, rp, lin, res, _du, _dp, hist = c
+                    tol = lin_tolerance(res)
+                    s1 = solve_fn(
+                        ru, rp, u, p, tw, state, lin, tol, False,
+                        cheap_iters, u_robust,
+                    )
+
+                    def stage2(_):
+                        s2 = solve_fn(
+                            ru, rp, u, p, tw, state, lin, tol, True,
+                            stage2_iters, u_robust,
+                        )
+                        return s2[:4] + (s1[4] + s2[4], s2[5])
+
+                    def stage1_done(_):
+                        return s1[:6]
+
+                    du, dp, u1, p1, it, lr = jax.lax.cond(
+                        s1[6], stage1_done, stage2, None
+                    )
+                    ru2, rp2, lin2, res_u2, res_p2 = residual_fn(
+                        u1, p1, u_old, u_old_old, tw, const_u, const_p,
+                        user_u, user_p, coeffs, ex,
+                    )
+                    res2 = jnp.sqrt(res_u2**2 + res_p2**2).astype(rdt)
+                    hist = (
+                        hist[0].at[k].set(it),
+                        hist[1].at[k].set(lr.astype(rdt)),
+                        hist[2].at[k].set(jnp.sqrt(jnp.sum(du * du)).astype(rdt)),
+                        hist[3].at[k].set(jnp.sqrt(jnp.sum(dp * dp)).astype(rdt)),
+                        hist[4].at[k].set(res2),
+                        hist[5].at[k].set(res_u2.astype(rdt)),
+                        hist[6].at[k].set(res_p2.astype(rdt)),
+                    )
+                    return (
+                        k + 1, tot + it, u1, p1, ru2, rp2, lin2, res2,
+                        du, dp, hist,
+                    )
+
+                k, tot, u, p, ru, rp, lin, res, du, dp, hist = (
+                    jax.lax.while_loop(cond, body, carry0)
+                )
+                return u, p, ru, rp, lin, res, du, dp, k, tot, hist
+
+            self._newton_loop_fn = jax.jit(
+                newton_loop_fn, static_argnames=("u_robust",)
+            )
+        else:
+            self._newton_loop_fn = None
+
         @jax.jit
         def compute_prec_fn(tw, lin, coeffs):
             return prec.compute(tw, lin, coeffs)
@@ -917,6 +1034,13 @@ class NavierStokes(FlowBaseAlgorithm):
         premature_update = False
         res = initial_residual
 
+        if (
+            self._newton_loop_fn is not None
+            and par.physical_type != PhysicalType.incompressible_stationary
+            and os.environ.get("ADAFLO_FUSED_NEWTON", "1") != "0"
+        ):
+            return self._solve_nonlinear_fused(initial_residual)
+
         if par.linearization == Linearization.projection:
             # restore the actual p^n (navier_stokes.cc:840-842)
             self.solution[1], self.solution_update[1] = (
@@ -1022,6 +1146,16 @@ class NavierStokes(FlowBaseAlgorithm):
                     self._p(" converged.\n")
                 break
 
+        return self._newton_tail(step, n_tot_iterations, premature_update)
+
+    def _newton_tail(
+        self, step: int, n_tot_iterations: int, premature_update: bool
+    ):
+        """Shared post-Newton bookkeeping: preconditioner refresh policy
+        (navier_stokes.cc:941-971), pressure fix shift, projection open-BC
+        pressure values."""
+        par = self.parameters
+        ts = self.time_stepping
         # preconditioner refresh bookkeeping (cc:941-971)
         if (
             self.update_preconditioner_frequency > 0
@@ -1074,6 +1208,125 @@ class NavierStokes(FlowBaseAlgorithm):
                     )
             self.solution[1] = jnp.asarray(p)
         return (step, n_tot_iterations)
+
+    def _solve_nonlinear_fused(self, initial_residual: float):
+        """Coupled Newton/Picard via the fused on-device loop: ONE dispatch
+        + one coalesced readback per preconditioner epoch (usually one per
+        time step) instead of one per Newton iteration. The host only
+        (re)builds the preconditioner between epochs, replays the residual
+        table from the returned per-iteration history, and runs the same
+        staleness bookkeeping as the step-by-step path
+        (navier_stokes.cc:833-971)."""
+        import time as _time
+
+        par = self.parameters
+        ts = self.time_stepping
+        v = par.output_verbosity
+        res = float(initial_residual)
+        step = 0
+        n_tot_iterations = 0
+        premature_update = False
+
+        if self.update_preconditioner:
+            self.build_preconditioner()
+        elif v >= 2:
+            self._p("    ---    ", end="")
+
+        tw = TimeWeights.from_time_stepping(ts)
+        ex = ts.extrapolation_factors
+        rdt = self.system_rhs[0].dtype
+
+        def _res_fragment(r, r_u, r_p):
+            if v == 1:
+                self._p(f"[{fmt_g(r)}", end="")
+            elif v == 2:
+                self._p(f"   {r:<12.3e} ", end="")
+            elif v == 3:
+                self._p(f"   {r_u:<11.3e} {r_p:<12.3e} ", end="")
+
+        while True:
+            if premature_update or ts.step_no() <= 1:
+                stale_budget = float("inf")
+            else:
+                stale_budget = (
+                    1.5 * self.n_iterations_last_prec_update
+                    - n_tot_iterations
+                )
+            remaining = par.max_nl_iteration - step
+            _t0 = _time.perf_counter()
+            (u_new, p_new, ru, rp, lin, res_dev, du, dp, k, tot, hist) = (
+                self._newton_loop_fn(
+                    self.solution[0], self.solution[1],
+                    self.system_rhs[0], self.system_rhs[1], self._last_lin,
+                    jnp.asarray(res, rdt), tw, self._prec_state,
+                    self.const_rhs[0], self.const_rhs[1],
+                    self.user_rhs[0], self.user_rhs[1], self.coefficients,
+                    (jnp.float64(ex[0]), jnp.float64(ex[1])),
+                    self.solution_old[0], self.solution_old_old[0],
+                    jnp.asarray(stale_budget, rdt), jnp.int32(remaining),
+                    u_robust=getattr(self, "_u_robust", False),
+                )
+            )
+            # one coalesced readback per epoch
+            k, tot, res, hist_h = jax.device_get((k, tot, res_dev, hist))
+            self.statistics.add("lin solver", _time.perf_counter() - _t0)
+            k, tot, res = int(k), int(tot), float(res)
+            if k > 0:
+                self.solution[0], self.solution[1] = u_new, p_new
+                self.system_rhs = [ru, rp]
+                self._last_lin = lin
+                self.solution_update[0] = du
+                self.solution_update[1] = dp
+            its, lrs, upd_us, upd_ps, ress, res_us, res_ps = (
+                np.asarray(h) for h in hist_h
+            )
+            for i in range(k):
+                if i > 0:
+                    _res_fragment(
+                        float(ress[i - 1]),
+                        float(res_us[i - 1]),
+                        float(res_ps[i - 1]),
+                    )
+                    if v >= 2:
+                        self._p("    ---    ", end="")
+                self.statistics.add("mat-vec", 0.0, max(int(its[i]), 1))
+                if v == 1:
+                    self._p(f"/{int(its[i])}] ", end="")
+                elif v == 2:
+                    norm = float(np.sqrt(upd_us[i] ** 2 + upd_ps[i] ** 2))
+                    self._p(
+                        f"    {norm:<5.2e}     {int(its[i]):4d}       "
+                        f"{float(lrs[i]):<5.2e}"
+                    )
+                elif v == 3:
+                    self._p(
+                        f"    {float(upd_us[i]):<5.2e}   "
+                        f"{float(upd_ps[i]):<5.2e}    {int(its[i]):4d}       "
+                        f"{float(lrs[i]):<5.2e}"
+                    )
+            step += k
+            n_tot_iterations += tot
+            if k > 0:
+                _res_fragment(
+                    float(ress[k - 1]),
+                    float(res_us[k - 1]),
+                    float(res_ps[k - 1]),
+                )
+            if k > 0 and res < par.tol_nl_iteration:
+                if v == 1:
+                    self._p("/conv.]")
+                elif v >= 2:
+                    self._p(" converged.\n")
+                break
+            if step >= par.max_nl_iteration:
+                break
+            # the staleness heuristic tripped (or the budget was already
+            # exhausted): rebuild and re-enter, exactly the step-by-step
+            # path's premature update (cc:869-880)
+            self.build_preconditioner()
+            premature_update = True
+
+        return self._newton_tail(step, n_tot_iterations, premature_update)
 
     # ------------------------------------------------------------------
     def adapt_mesh(self, flags: np.ndarray) -> bool:
