@@ -180,6 +180,15 @@ SLOW_CASES = [
         "spurious_currents_ls_3d_short.output",
     ),
     (
+        # the FULL 60-step adaptive rising_bubble_ls_adap run (reference
+        # tests/rising_bubble_ls_adap.output; our golden matches its bubble
+        # diagnostics to 6-9 digits at every step incl. step 60)
+        "rb_ls_adap_full",
+        "adaflo_tpu.drivers.rising_bubble",
+        "rising_bubble_ls_adap.prm",
+        "rising_bubble_ls_adap.output",
+    ),
+    (
         # 3D sharp-interface rising bubble (marching tetrahedra / 3D
         # level-set front, sharp_interface.h:503-1074 dim-templated)
         "sim_rb_3d",
