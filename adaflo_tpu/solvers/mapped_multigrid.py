@@ -129,10 +129,16 @@ class MappedGMG(ForestGMG):
 def _extruded_transfer_maps(coarse, fine):
     """(masters, weights) for extruded spaces: the tensor product of the
     in-plane mapped transfer with exact 1D nodal interpolation on the
-    (uniformly refined) z-lattice."""
-    m2, w2 = _mapped_transfer_maps(coarse.base_space, fine.base_space)
-    m2 = np.asarray(m2)
-    w2 = np.asarray(w2)
+    (uniformly refined) z-lattice. When both levels share the base mesh
+    (z-only semi-coarsening), the in-plane part is the identity."""
+    if coarse.base_space.mesh is fine.base_space.mesh:
+        n2 = fine.base_space.n_dofs
+        m2 = np.arange(n2, dtype=np.int64)[:, None]
+        w2 = np.ones((n2, 1))
+    else:
+        m2, w2 = _mapped_transfer_maps(coarse.base_space, fine.base_space)
+        m2 = np.asarray(m2)
+        w2 = np.asarray(w2)
     k = fine.degree
     n1 = k + 1
     n2f = fine.base_space.n_dofs
@@ -175,7 +181,10 @@ class ExtrudedGMG(ForestGMG):
         pin_position: Optional[np.ndarray] = None,
         smoother_degree: int = 3,
         min_coarse_nodes: int = 700,
-        max_coarse_dense: int = 4096,
+        # z-semi-coarsening stops early (anisotropy guard), so history-less
+        # meshes land larger coarse problems; the dense-CG bottom solve is
+        # still far cheaper than the iterations a weak coarse level costs
+        max_coarse_dense: int = 8192,
         mapping_degree: int = 3,
     ) -> None:
         from adaflo_tpu.fe.extruded_space import ExtrudedSpace
@@ -208,9 +217,34 @@ class ExtrudedGMG(ForestGMG):
         base_history: List[QuadMesh] = list(reversed(mesh.base.history or []))
         sp = space
         n_slices = mesh.n_slices
-        for cmesh2 in base_history:
-            if sp.n_dofs <= min_coarse_nodes or n_slices % 2:
-                break
+        hi = 0
+        # the z-anisotropy guard for z-only levels: stop semi-coarsening
+        # once the z cell height outgrows the in-plane resolution too far
+        # (a point smoother then no longer damps z-oscillatory modes)
+        h_plane = float(mesh.base.cell_diameter)
+        while sp.n_dofs > min_coarse_nodes and n_slices % 2 == 0:
+            if hi < len(base_history):
+                # base snapshot + halved z (full 3D coarsening)
+                cmesh2 = base_history[hi]
+                hi += 1
+                cmap = CellMapping(cmesh2, degree=mapping_degree)
+                base_coarsened = True
+            else:
+                # base history exhausted: z-only semi-coarsening keeps the
+                # full in-plane resolution on every level, so the (dense)
+                # coarse solve resolves all in-plane modes exactly — the
+                # ML-AMG role on extruded meshes built without refinement
+                # (micro_particle's 'global refinements = 0' configuration,
+                # ns_prec.cc:465-562). The guard is strict: once h_z
+                # outgrows the in-plane resolution, the level operator is
+                # plane-dominated and a point smoother no longer damps its
+                # z-oscillatory modes (measured: 145 CG its at 4x vs ~10
+                # within the guard)
+                if mesh.height / (n_slices // 2) > 1.5 * h_plane:
+                    break
+                cmesh2 = sp.mesh.base
+                cmap = sp.mapping
+                base_coarsened = False
             n_slices //= 2
             cmesh = ExtrudedMesh(
                 cmesh2,
@@ -219,15 +253,15 @@ class ExtrudedGMG(ForestGMG):
                 z_boundary_id=mesh.z_boundary_id,
                 z0=mesh.z0,
             )
-            cmap = CellMapping(cmesh2, degree=mapping_degree)
             csp = ExtrudedSpace(cmesh, space.degree, cmap)
             lev = levels[-1]
             lev.t_masters, lev.t_weights = _extruded_transfer_maps(csp, sp)
             E2f = sp.mesh.base.n_cells
             E2c = cmesh2.n_cells
             e = np.arange(sp.n_cells, dtype=np.int64)
+            base_parent = (e % E2f) // 4 if base_coarsened else e % E2f
             lev.cell_parent = jnp.asarray(
-                (e // E2f // 2) * E2c + (e % E2f) // 4
+                (e // E2f // 2) * E2c + base_parent
             )
             levels.append(make_level(csp))
             sp = csp

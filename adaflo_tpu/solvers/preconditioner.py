@@ -199,8 +199,14 @@ class NavierStokesPreconditioner:
             else:
                 hist = getattr(u_space.mesh, "history", None)
             # QuadMesh records refinement snapshots; simplex (TriMesh) and
-            # snapshot-less meshes have no hierarchy -> Chebyshev/Jacobi
-            if not hist:
+            # snapshot-less meshes have no hierarchy -> Chebyshev/Jacobi.
+            # Extruded meshes always have the z axis to semi-coarsen
+            # (ExtrudedGMG z-only levels), so they keep GMG even when the
+            # base was built without refinement (micro_particle's
+            # 'global refinements = 0')
+            if not hist and not (
+                is_ext and u_space.mesh.n_slices % 2 == 0
+            ):
                 self.use_gmg = False
             if self.use_gmg:
                 dim = op.dim

@@ -241,3 +241,58 @@ def test_extruded_gmg_vcycle():
     assert it_g * 3 < it_d, (it_g, it_d)
     err = float(jnp.max(jnp.abs(res_g.x - res_d.x)))
     assert err < 1e-7, err
+
+
+def test_extruded_gmg_z_semicoarsening():
+    """A base mesh built WITHOUT refinement (micro_particle's
+    'global refinements = 0', so QuadMesh.history is empty) still gets a
+    real hierarchy: z-only semi-coarsening levels with identity in-plane
+    transfer and a dense coarse solve that resolves every in-plane mode —
+    the ML-AMG role for extruded meshes that were never refined
+    (navier_stokes_preconditioner.cc:465-562)."""
+    from adaflo_tpu.fe.constraints import Constraints
+    from adaflo_tpu.fe.extruded_space import ExtrudedSpace
+    from adaflo_tpu.fe.mapped_space import CellMapping
+    from adaflo_tpu.mesh.extruded import ExtrudedMesh
+    from adaflo_tpu.mesh.unstructured import QuadMesh
+    from adaflo_tpu.ops.forest_ops import ForestHelmholtzOperator
+    from adaflo_tpu.solvers.krylov import cg
+    from adaflo_tpu.solvers.mapped_multigrid import ExtrudedGMG
+
+    base = QuadMesh.subdivided_hyper_rectangle((12, 12), (0.0, 0.0), (1.0, 1.0))
+    base.distort_random(0.1, seed=11)
+    assert not base.history  # never refined: no snapshot hierarchy
+    mesh = ExtrudedMesh(base, 8, 0.5, z_boundary_id=1)
+    sp = ExtrudedSpace(mesh, 1, CellMapping(base, 3))
+    bids = sorted(mesh.all_boundary_ids())
+
+    gmg = ExtrudedGMG(sp, bids, sp.n_dofs_padded)
+    sizes = [l.space.n_dofs for l in gmg.levels]
+    assert len(gmg.levels) >= 2, sizes
+    assert gmg.direct_coarse, sizes
+    # z-only levels keep the base resolution
+    for lev in gmg.levels:
+        assert lev.space.base_space.n_dofs == sp.base_space.n_dofs
+    # transfers are a partition of unity
+    for lev in gmg.levels[:-1]:
+        w = np.asarray(lev.t_weights)
+        assert np.abs(w.sum(axis=1) - 1.0).max() < 1e-12
+
+    con = Constraints(sp.n_dofs)
+    con.add_dirichlet(
+        np.unique(np.concatenate([sp.boundary_dofs(b) for b in bids]))
+    )
+    con.close()
+    op = ForestHelmholtzOperator(sp, con)
+    rng = np.random.RandomState(5)
+    b = jnp.asarray(con.condense(jnp.asarray(rng.rand(sp.n_dofs_padded))))
+    # pure-stiffness (Poisson) — the Schur-complement operator whose
+    # Chebyshev-only treatment capped micro_particle_3d's first solve
+    A = lambda x: op.vmult(x, alpha=0.0, beta=1.0)
+    state = gmg.compute(0.0, 1.0)
+    res_g = cg(
+        A, b, jnp.zeros_like(b), jnp.float64(1e-10), 200,
+        M=lambda r: gmg.vmult(state, r),
+    )
+    it_g = int(res_g.iterations)
+    assert bool(res_g.converged) and it_g <= 25, it_g
