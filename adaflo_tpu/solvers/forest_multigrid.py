@@ -29,7 +29,7 @@ from adaflo_tpu.fe.constraints import Constraints
 from adaflo_tpu.fe.forest_space import ForestSpace
 from adaflo_tpu.fe.forest_transfer import ForestFunction
 from adaflo_tpu.ops.tensor import VariableCellEvaluator
-from adaflo_tpu.solvers.multigrid import GMGState, LevelState
+from adaflo_tpu.solvers.multigrid import GMGState, LevelState, estimate_lmax
 
 
 @dataclass(eq=False)
@@ -179,12 +179,12 @@ class ForestGMG:
         for li, lev in enumerate(self.levels):
             diag = self._diagonal(lev, al, be)
             Dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
-            v = jnp.cos(jnp.arange(diag.size, dtype=diag.dtype) * 0.7 + 0.3)
-            lam = jnp.asarray(1.0, diag.dtype)
-            for _ in range(10):
-                w = Dinv * self._apply_raw(lev, al, be, v)
-                lam = jnp.sqrt(jnp.vdot(w, w).real)
-                v = w / jnp.maximum(lam, 1e-30)
+            lam = estimate_lmax(
+                lambda x, _al=al, _be=be, _lev=lev: self._apply_raw(
+                    _lev, _al, _be, x
+                ),
+                Dinv, diag.size, diag.dtype,
+            )
             states.append(LevelState(al, be, diag, lam))
             if li + 1 < len(self.levels):
                 al = self._coarsen_cells(al, lev)

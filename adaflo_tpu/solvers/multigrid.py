@@ -44,6 +44,35 @@ class LevelState(NamedTuple):
     lmax: jnp.ndarray  # ()
 
 
+def estimate_lmax(apply_fn, Dinv, n, dtype, m: int = 25):
+    """Largest eigenvalue of D^-1 A by m-step Lanczos on the similar
+    symmetric operator D^-1/2 A D^-1/2 (the extreme Ritz value converges
+    geometrically, unlike plain power iteration on the clustered spectra of
+    FE operators — the reference relies on deal.II's CG-Lanczos estimate
+    inside PreconditionChebyshev for the same reason). Jittable: fixed
+    iteration count, dense eigvalsh of the m x m tridiagonal."""
+    sq = jnp.sqrt(jnp.abs(Dinv))
+    v = jnp.cos(jnp.arange(n, dtype=dtype) * 0.7 + 0.3)
+    v = v / jnp.linalg.norm(v)
+    v_prev = jnp.zeros_like(v)
+    beta = jnp.asarray(0.0, dtype)
+    alphas, betas = [], []
+    for _ in range(m):
+        w = sq * apply_fn(sq * v)
+        a = jnp.vdot(v, w).real.astype(dtype)
+        w = w - a * v - beta * v_prev
+        beta_new = jnp.linalg.norm(w).astype(dtype)
+        v_prev = v
+        v = w / jnp.maximum(beta_new, jnp.asarray(1e-30, dtype))
+        alphas.append(a)
+        betas.append(beta_new)
+        beta = beta_new
+    T = jnp.diag(jnp.stack(alphas))
+    off = jnp.stack(betas[:-1])
+    T = T + jnp.diag(off, 1) + jnp.diag(off, -1)
+    return jnp.max(jnp.linalg.eigvalsh(T))
+
+
 class GMGState(NamedTuple):
     levels: Tuple[LevelState, ...]
     coarse_matrix: object  # dense (n_c, n_c) coarse operator or None
@@ -218,14 +247,12 @@ class LatticeGMG:
         for li, lev in enumerate(self.levels):
             diag = self._diagonal(lev, al, be)
             Dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
-            v = jnp.cos(
-                jnp.arange(diag.size, dtype=jnp.float64) * 0.7 + 0.3
+            lam = estimate_lmax(
+                lambda x, _al=al, _be=be, _lev=lev: self._apply_raw(
+                    _lev, _al, _be, x
+                ),
+                Dinv, diag.size, diag.dtype,
             )
-            lam = jnp.float64(1.0)
-            for _ in range(10):
-                w = Dinv * self._apply_raw(lev, al, be, v)
-                lam = jnp.sqrt(jnp.vdot(w, w).real)
-                v = w / jnp.maximum(lam, 1e-30)
             states.append(LevelState(al, be, diag, lam))
             if li + 1 < len(self.levels):
                 al = self._coarsen_cells(al, lev)
