@@ -231,11 +231,22 @@ def stream_t(lin) -> jnp.ndarray:
 
 def _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref):
     """Shared per-block math: convective Newton rows from (r, s) into n_ref,
-    final out = M x + A_ic n. r/s: (dim(dim+1)g, B) u/u* values+gradients."""
-    pt = dict(preferred_element_type=x.dtype)
+    final out = M x + A_ic n. r/s: (dim(dim+1)g, B) u/u* values+gradients.
+
+    ADAFLO_PALLAS_PR_BF16 selects the convective-path precision:
+    'conv' integrates the convective rows in pure bf16 (the rows already
+    carry bf16 accuracy — one factor of every product is the bf16-streamed
+    frozen linearization — so a bf16 A_ic pass changes nothing of their
+    accuracy class while running the MXU at full bf16 rate); 'all'
+    additionally drops the stiff linear terms M89 to bf16 (probe only —
+    NOT production precision)."""
+    pt = dict(preferred_element_type=jnp.float32 if x.dtype != jnp.float64
+              else x.dtype)
     prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
     if prec:
         pt["precision"] = getattr(jax.lax.Precision, prec.upper())
+    bf_mode = os.environ.get("ADAFLO_PALLAS_PR_BF16", "")
+    bf16_ok = x.dtype == jnp.float32 and bf_mode in ("conv", "all")
     parts = dim + 1
 
     def rows(block, part, c):
@@ -272,9 +283,15 @@ def _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref):
             **pt,
         )
     else:
-        out_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(
-            Ai_ref[:], n_ref[:], **pt
-        )
+        Mx, nn = M_ref[:], n_ref[:]
+        Ai = Ai_ref[:]
+        if bf16_ok:
+            Ai = Ai.astype(jnp.bfloat16)
+            nn = nn.astype(jnp.bfloat16)
+            if bf_mode == "all":
+                Mx = Mx.astype(jnp.bfloat16)
+                x = x.astype(jnp.bfloat16)
+        out_ref[:] = jnp.dot(Mx, x, **pt) + jnp.dot(Ai, nn, **pt)
 
 
 def _kernel_su(
@@ -564,10 +581,21 @@ def _kernel_pr(
     beta = beta_ref[0]
     x = x_ref[:]
     prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
-    pt = dict(preferred_element_type=x.dtype)
+    pt = dict(preferred_element_type=jnp.float32 if x.dtype != jnp.float64
+              else x.dtype)
     if prec:
         pt["precision"] = getattr(jax.lax.Precision, prec.upper())
-    r = jnp.dot(Ae_ref[:], x, **pt)
+    Ae = Ae_ref[:]
+    xe = x
+    if x.dtype == jnp.float32 and os.environ.get(
+        "ADAFLO_PALLAS_PR_BF16", ""
+    ) in ("conv", "all"):
+        # r only feeds the convective rows, whose other factor (the frozen
+        # linearization stream) is bf16 by design — a pure-bf16 evaluate
+        # pass keeps the rows' accuracy class and the MXU at full rate
+        Ae = Ae.astype(jnp.bfloat16)
+        xe = x.astype(jnp.bfloat16)
+    r = jnp.dot(Ae, xe, **pt)
     s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
     # the result block reuses x_ref as scratch (x is fully consumed as a
     # loaded value before the store) — a separate y buffer pushed the

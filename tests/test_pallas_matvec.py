@@ -106,3 +106,91 @@ def test_pallas_coupled_vmult_matches_einsum(
         s2 = float(jnp.abs(ru6).max())
         assert float(jnp.abs(ru5[:, : us.n_dofs] - ru6[:, : us.n_dofs]).max()) < 1e-12 * s2
         assert float(jnp.abs(rp5[: ps.n_dofs] - rp6[: ps.n_dofs]).max()) < 1e-12 * s2
+
+
+def test_pr_pack_preserves_inner_products():
+    """The resident Krylov loop runs its dots/norms on packed vectors:
+    pack must be an isometry onto the nodal dofs (phantom anchors and
+    padding exactly zero)."""
+    import jax
+
+    par, us, ps, cu, cp = _make_op(3, 2)
+    os.environ["ADAFLO_PALLAS_MATVEC"] = "1"
+    try:
+        op = NavierStokesOperator(par, us, ps, cu, cp)
+    finally:
+        del os.environ["ADAFLO_PALLAS_MATVEC"]
+    assert op.pr_supported()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    u1 = jax.random.normal(k1, (3, us.n_dofs_padded))
+    p1 = jax.random.normal(k1, (ps.n_dofs_padded,))
+    u2 = jax.random.normal(k2, (3, us.n_dofs_padded))
+    p2 = jax.random.normal(k2, (ps.n_dofs_padded,))
+    # zero the padding tails (Krylov vectors keep them zero)
+    u1 = u1.at[:, us.n_dofs :].set(0.0)
+    u2 = u2.at[:, us.n_dofs :].set(0.0)
+    p1 = p1.at[ps.n_dofs :].set(0.0)
+    p2 = p2.at[ps.n_dofs :].set(0.0)
+    x1, x2 = op.pr_pack(u1, p1), op.pr_pack(u2, p2)
+    d_nodal = float(jnp.vdot(u1, u2) + jnp.vdot(p1, p2))
+    d_packed = float(jnp.vdot(x1, x2))
+    assert abs(d_packed - d_nodal) < 1e-12 * abs(d_nodal)
+    # round trip is exact
+    uu, pp = op.pr_unpack(x1)
+    assert float(jnp.abs(uu - u1).max()) == 0.0
+    assert float(jnp.abs(pp - p1).max()) == 0.0
+
+
+def test_pr_resident_solver_step_matches_einsum(monkeypatch):
+    """A full coupled Newton time step with the parity-RESIDENT Krylov
+    solve (production default on eligible TPU meshes; forced on here via
+    interpret mode) must reproduce the einsum-path solution to solver
+    tolerance."""
+    import numpy as np
+
+    from adaflo_tpu.mesh.structured import StructuredMesh
+    from adaflo_tpu.solvers.navier_stokes_solver import NavierStokes
+
+    def run(pallas: str):
+        monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", pallas)
+        monkeypatch.setenv("ADAFLO_PALLAS_LAYOUT", "pr")
+        par = FlowParameters.from_string(
+            """
+subsection Time stepping
+  set end time = 0.05
+  set step size = 0.05
+end
+subsection Navier-Stokes
+  set dimension = 3
+  set velocity degree = 2
+  set viscosity = 0.05
+  subsection Solver
+    set NL max iterations = 6
+    set NL tolerance = 1.e-10
+    set lin max iterations = 200
+    set lin tolerance = 1.e-9
+  end
+end
+subsection Output options
+  set output verbosity = 0
+end
+"""
+        )
+        mesh = StructuredMesh((3, 3, 3), (0.0,) * 3, (1.0,) * 3)
+        ns = NavierStokes(par, mesh)
+        ns.set_velocity_dirichlet_boundary(
+            0,
+            lambda x, t: np.stack(
+                [-(x[:, 1] - 0.5), x[:, 0] - 0.5, 0.0 * x[:, 2]]
+            ),
+        )
+        ns.fix_pressure_constant(0)
+        ns.setup_problem()
+        ns.advance_time_step()
+        return np.asarray(ns.solution[0]), np.asarray(ns.solution[1])
+
+    u_pr, p_pr = run("1")
+    u_ref, p_ref = run("0")
+    scale = np.abs(u_ref).max()
+    assert np.abs(u_pr - u_ref).max() < 1e-7 * scale
+    assert np.abs(p_pr - p_ref).max() < 1e-6 * max(np.abs(p_ref).max(), 1.0)
