@@ -154,7 +154,10 @@ class ScalarSpace:
                 else:
                     T1 = self._node_face_incidence(rem_axes[0])
                     T2 = self._node_face_incidence(rem_axes[1])
-                    mask = np.einsum("af,bg,fg->ab", T1, T2, F) > 0
+                    # two GEMMs, not a naive 4-index einsum: the default
+                    # einsum path is O(nodes^2 * faces^2) and took minutes
+                    # already at 4097^2 nodes
+                    mask = (T1 @ F @ T2.T) > 0
                 fixed = 0 if end == 0 else self.n_nodes_axis[axis] - 1
                 if self.dim == 1:
                     found.append(np.array([fixed] if mask else [], dtype=np.int64))
