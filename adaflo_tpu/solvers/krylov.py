@@ -33,9 +33,15 @@ class SolverResult(NamedTuple):
 
 # ---------------------------------------------------------------- tree utils
 def _dot(a, b):
+    # NOT jnp.vdot: vdot ravels ND leaves, and flattening an array that is
+    # sharded along a non-leading axis interleaves the shards — GSPMD then
+    # materializes an all-gather per Krylov iteration. multiply+sum keeps
+    # the operand sharding and lowers the reduction to one all-reduce.
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
-    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    return sum(
+        jnp.sum(jnp.conj(x) * y) for x, y in zip(leaves_a, leaves_b)
+    )
 
 
 def _norm(a):
@@ -171,52 +177,83 @@ def bicgstab(A, b, x0, tol, max_iter: int, M: Optional[Callable] = None):
 
 
 # ---------------------------------------------------------------- GMRES
-def _flatten_template(x):
-    leaves, treedef = jax.tree_util.tree_flatten(x)
-    shapes = [l.shape for l in leaves]
-    sizes = [int(jnp.size(l)) for l in leaves]
-    dtype = leaves[0].dtype
+def _basis_zeros(template, rows: int):
+    """Per-leaf Krylov basis storage: each leaf gets a (rows,)+leaf.shape
+    array. NOT a flattened (rows, n) matrix — concatenating sharded leaves
+    into one vector interleaves their shards, and GSPMD then inserts
+    field-sized all-gather/all-to-all resharding inside every Arnoldi
+    iteration. Leaf-shaped storage keeps every basis operation in the
+    leaf's own sharding (dots lower to one all-reduce)."""
+    return jax.tree_util.tree_map(
+        lambda l: jnp.zeros((rows,) + l.shape, l.dtype), template
+    )
 
-    def flat(y):
-        ls = jax.tree_util.tree_leaves(y)
-        return jnp.concatenate([l.reshape(-1) for l in ls])
 
-    def unflat(v):
-        out = []
-        off = 0
-        for s, sh in zip(sizes, shapes):
-            out.append(v[off : off + s].reshape(sh))
-            off += s
-        return jax.tree_util.tree_unflatten(treedef, out)
+def _basis_set(V, j, w):
+    return jax.tree_util.tree_map(
+        lambda Vl, wl: lax.dynamic_update_index_in_dim(Vl, wl, j, 0), V, w
+    )
 
-    return flat, unflat, sum(sizes), dtype
+
+def _basis_get(V, j):
+    return jax.tree_util.tree_map(
+        lambda Vl: lax.dynamic_index_in_dim(Vl, j, 0, keepdims=False), V
+    )
+
+
+def _basis_dots(V, w):
+    """(rows,) vector of <V[i], w> — multi-dim dot_general per leaf (no
+    reshape: see _basis_zeros)."""
+
+    def leaf(Vl, wl):
+        nc = wl.ndim
+        return lax.dot_general(
+            Vl,
+            wl,
+            dimension_numbers=(
+                (tuple(range(1, nc + 1)), tuple(range(nc))),
+                ((), ()),
+            ),
+        )
+
+    leaves_V = jax.tree_util.tree_leaves(V)
+    leaves_w = jax.tree_util.tree_leaves(w)
+    return sum(leaf(Vl, wl) for Vl, wl in zip(leaves_V, leaves_w))
+
+
+def _basis_comb(coef, V):
+    """sum_i coef[i] * V[i] as a leaf-shaped pytree."""
+
+    def leaf(Vl):
+        return lax.dot_general(
+            coef, Vl, dimension_numbers=(((0,), (0,)), ((), ()))
+        )
+
+    return jax.tree_util.tree_map(leaf, V)
 
 
 def _gmres_impl(
     A, b, x0, tol, max_iter: int, restart: int, M, flexible: bool
 ):
     """Right-preconditioned GMRES(m)/FGMRES(m) with modified Gram-Schmidt and
-    Givens rotations; basis stored as a dense (m+1, n) matrix."""
+    Givens rotations; basis stored per pytree leaf (sharding-preserving)."""
     M = M or _identity
-    flat, unflat, n, dtype = _flatten_template(b)
-    Af = lambda v: flat(A(unflat(v)))
-    Mf = lambda v: flat(M(unflat(v)))
+    leaves = jax.tree_util.tree_leaves(b)
+    dtype = leaves[0].dtype
     m = restart
 
-    b_flat = flat(b)
-    x0_flat = jnp.zeros(n, dtype) if x0 is None else flat(x0)
-
     def restart_cycle(x, k_done):
-        r = b_flat - Af(x)
-        beta = jnp.linalg.norm(r)
+        r = _sub(b, A(x))
+        beta = _norm(r)
 
-        V = jnp.zeros((m + 1, n), dtype)
-        Z = jnp.zeros((m, n), dtype) if flexible else None
+        V = _basis_zeros(b, m + 1)
+        Z = _basis_zeros(b, m) if flexible else None
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        V = V.at[0].set(jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), r))
+        inv_beta = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, 1e-300), 1.0)
+        V = _basis_set(V, 0, _scale(inv_beta, r))
 
         def arnoldi_cond(st):
             j, V, Z, H, cs, sn, g, res = st
@@ -224,19 +261,21 @@ def _gmres_impl(
 
         def arnoldi_body(st):
             j, V, Z, H, cs, sn, g, _ = st
-            z = Mf(V[j])
+            z = M(_basis_get(V, j))
             if flexible:
-                Z = Z.at[j].set(z)
-            w = Af(z)
+                Z = _basis_set(Z, j, z)
+            w = A(z)
             # modified Gram-Schmidt against all basis vectors (masked)
-            hcol = V @ w  # (m+1,)
+            hcol = _basis_dots(V, w)  # (m+1,)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
             hcol = hcol * mask
-            w = w - hcol @ V
-            hnorm = jnp.linalg.norm(w)
+            w = _sub(w, _basis_comb(hcol, V))
+            hnorm = _norm(w)
             H = H.at[:, j].set(hcol)
             H = H.at[j + 1, j].set(hnorm)
-            V = V.at[j + 1].set(w / jnp.maximum(hnorm, 1e-300))
+            V = _basis_set(
+                V, j + 1, _scale(1.0 / jnp.maximum(hnorm, 1e-300), w)
+            )
 
             # apply existing Givens rotations to the new column
             def apply_rot(i, col):
@@ -278,10 +317,11 @@ def _gmres_impl(
 
         y = lax.fori_loop(0, j, back_sub, jnp.zeros(m, dtype))
         if flexible:
-            dx = y @ Z
+            dx = _basis_comb(y, Z)
         else:
-            dx = Mf(y @ V[:m])
-        return x + dx, k_done + j, res
+            Vm = jax.tree_util.tree_map(lambda Vl: Vl[:m], V)
+            dx = M(_basis_comb(y, Vm))
+        return _add(x, dx), k_done + j, res
 
     def outer_cond(st):
         x, k, res = st
@@ -291,15 +331,15 @@ def _gmres_impl(
         x, k, _ = st
         return restart_cycle(x, k)
 
-    r0 = (
-        jnp.linalg.norm(b_flat)
-        if x0 is None
-        else jnp.linalg.norm(b_flat - Af(x0_flat))
-    )
+    if x0 is None:
+        x0 = _zeros_like(b)
+        r0 = _norm(b)
+    else:
+        r0 = _norm(_sub(b, A(x0)))
     x, k, res = lax.while_loop(
-        outer_cond, outer_body, (x0_flat, jnp.int32(0), r0)
+        outer_cond, outer_body, (x0, jnp.int32(0), r0)
     )
-    return SolverResult(unflat(x), k, res, res <= tol)
+    return SolverResult(x, k, res, res <= tol)
 
 
 def gmres(A, b, x0, tol, max_iter: int, restart: int = 50, M=None):

@@ -650,7 +650,12 @@ class NavierStokesPreconditioner:
         u_robust: bool = False,
     ):
         """Apply the block-triangular preconditioner to (ru, rp). Pure in
-        (st, rhs, tw); do_inner and u_robust are static Python bools."""
+        (st, rhs, tw); do_inner and u_robust are static Python bools.
+
+        Sharding note: the GMG/Chebyshev internals reshape dof vectors onto
+        the cell lattice, which under GSPMD materializes ONE field-sized
+        gather at the apply boundary (pinned by the halo collective test);
+        making the V-cycle halo-native is the remaining sharding work."""
         par = self.parameters
         ru, rp = rhs
 

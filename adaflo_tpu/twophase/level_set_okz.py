@@ -25,6 +25,7 @@ from adaflo_tpu.ops.level_set import LevelSetOperators
 from adaflo_tpu.ops.navier_stokes import Coefficients, TimeWeights
 from adaflo_tpu.parameters import FlowParameters, Scheme
 from adaflo_tpu.solvers.krylov import bicgstab, cg, gmres
+from adaflo_tpu.solvers.navier_stokes_solver import fmt_g
 from adaflo_tpu.solvers.preconditioner import (
     ChebyshevPreconditioner,
     DiagonalPreconditioner,
@@ -86,6 +87,9 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         ops = self.ops
         par = self.parameters
         dim = self.mesh.dim
+        # the fused pre-Newton program captures static dof indices and the
+        # jitted sub-programs: rebuild it whenever these rebuild (AMR)
+        self._pre_newton_fn = None
 
         @jax.jit
         def advect_fn(
@@ -553,9 +557,320 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
             precomputed=(ru, rp, lin, res_u, res_p)
         )
 
+    # ------------------------------------------------------------------
+    def _build_pre_newton_fn(self):
+        """ONE jitted program for everything between `ts.next()` and the
+        Newton solve: NS + LS solution extrapolation, Dirichlet/no-slip/
+        symmetry boundary writes, hanging-node conformity, the fused
+        advect+reinit chain and the fused force+residual evaluation. Cuts
+        the per-step jit dispatches from 5 to 2 (+preconditioner epochs) —
+        on this host each dispatch costs ~24 ms of tunnel latency, ~60 % of
+        the whole step (BENCH_r03/r04 rb_ls_dispatches_per_step)."""
+        ns = self.navier_stokes
+        u_space = ns.u_space
+        bd = ns.boundary
+        dim = ns.dim
+        dir_items = sorted(bd.dirichlet_conditions_u.items())
+        dir_dofs_np = [u_space.boundary_dofs(bid) for bid, _ in dir_items]
+        # host-side evaluation data for the per-step Dirichlet values
+        self._pre_newton_bc = [
+            (fn, dofs) for (bid, fn), dofs in zip(dir_items, dir_dofs_np)
+        ]
+        dir_dofs = [jnp.asarray(d) for d in dir_dofs_np]
+        noslip_dofs = [
+            jnp.asarray(u_space.boundary_dofs(bid))
+            for bid in sorted(bd.no_slip)
+            if len(u_space.boundary_dofs(bid))
+        ]
+        dirichlet_ids = set(bd.dirichlet_conditions_u) | bd.no_slip
+        covered = (
+            np.unique(
+                np.concatenate(
+                    [u_space.boundary_dofs(b) for b in dirichlet_ids]
+                )
+            )
+            if dirichlet_ids
+            else np.empty(0, dtype=np.int64)
+        )
+        extra = []
+        for c in range(dim):
+            dd = np.setdiff1d(
+                ns.constraints_u[c].dirichlet_dofs, covered
+            )
+            extra.append(jnp.asarray(dd) if len(dd) else None)
+        hang_u = len(ns.constraints_u[0].vslave) > 0
+        hang_p = len(ns.constraints_p.vslave) > 0
+        advect_reinit_fn = self._advect_reinit_fn
+        force_residual_fn = self._force_residual_fn
+
+        def pre_newton_fn(
+            ns_cur,
+            ns_old,
+            ns_oldold,
+            f1,
+            f2,
+            ls_sol,
+            ls_old,
+            ea,
+            eb,
+            dir_vals,
+            nv,
+            en,
+            tw,
+            abs_tol,
+            dtau_inv,
+            old_dt,
+            cr_u,
+            cr_p,
+            user_p,
+            ex01,
+            actual_diff,
+            stab_steps,
+        ):
+            # NS extrapolation + rotation (extrapolate_fn semantics)
+            new_cur = [f1 * c + f2 * o for c, o in zip(ns_cur, ns_old)]
+            new_old, new_oldold = list(ns_cur), list(ns_old)
+            u, p = new_cur[0], new_cur[1]
+            # boundary writes (apply_boundary_conditions device part)
+            for dofs, vals in zip(dir_dofs, dir_vals):
+                u = u.at[:, dofs].set(vals)
+            for dofs in noslip_dofs:
+                u = u.at[:, dofs].set(0.0)
+            for c in range(dim):
+                if extra[c] is not None:
+                    u = u.at[c, extra[c]].set(0.0)
+            if hang_u:
+                u = jnp.stack(
+                    [
+                        ns.constraints_u[c].distribute_values(u[c])
+                        for c in range(dim)
+                    ]
+                )
+            if hang_p:
+                p = ns.constraints_p.distribute_values(p)
+            # LS extrapolation (two_phase_base.cc:441-475)
+            ls_new = [ea * s + eb * o for s, o in zip(ls_sol, ls_old)]
+            c_new, nv2, en2, a_iters, rhs_norm, hist_it, hist_valid = (
+                advect_reinit_fn(
+                    ls_new[0],
+                    ls_sol[0],
+                    ls_old[0],
+                    u,
+                    new_old[0],
+                    new_oldold[0],
+                    nv,
+                    en,
+                    tw,
+                    abs_tol,
+                    dtau_inv,
+                    old_dt,
+                    actual_diff,
+                    stab_steps,
+                )
+            )
+            ls_new[0] = c_new
+            nv3, kappa, h, user_u, coeffs, ru, rp, lin, res_u, res_p = (
+                force_residual_fn(
+                    c_new,
+                    nv2,
+                    u,
+                    p,
+                    new_old[0],
+                    new_oldold[0],
+                    tw,
+                    cr_u,
+                    cr_p,
+                    user_p,
+                    ex01,
+                )
+            )
+            new_cur[0], new_cur[1] = u, p
+            return (
+                new_cur,
+                new_old,
+                new_oldold,
+                ls_new,
+                nv3,
+                en2,
+                kappa,
+                h,
+                user_u,
+                coeffs,
+                ru,
+                rp,
+                lin,
+                res_u,
+                res_p,
+                a_iters,
+                rhs_norm,
+                hist_it,
+                hist_valid,
+            )
+
+        self._pre_newton_fn = jax.jit(
+            pre_newton_fn, static_argnames=("actual_diff", "stab_steps")
+        )
+
+    def _pre_newton_eligible(self) -> bool:
+        ns = self.navier_stokes
+        par = self.parameters
+        ts = self.time_stepping
+        from adaflo_tpu.parameters import Linearization
+
+        return (
+            par.linearization
+            in (
+                Linearization.coupled_implicit_newton,
+                Linearization.coupled_implicit_picard,
+            )
+            and not self.boundary.fluid_type
+            and not ns.boundary.open_conditions_p
+            # called BEFORE ts.next(): step_no >= 1 and step_size > 0 mean
+            # the upcoming step is >= 2 with old_step_size > 0 after next()
+            and ts.step_no() >= 1
+            and ts.step_size() > 0
+            and getattr(ns, "const_rhs", None) is not None
+        )
+
+    def _fused_pre_newton_step(self) -> float:
+        """Fused replacement for init_time_advance +
+        _advance_concentration_and_reinit + _fused_force_and_initial
+        _residual: one dispatch, one coalesced readback."""
+        ns = self.navier_stokes
+        par = self.parameters
+        ts = self.time_stepping
+        if getattr(self, "_pre_newton_fn", None) is None:
+            self._build_pre_newton_fn()
+        # host bookkeeping identical to the unfused path
+        f1, f2 = ts.extrapolation_factors
+        k, ko = ts.step_size(), ts.old_step_size()
+        ea, eb = (k + ko) / ko, -k / ko
+        if par.output_verbosity > 0:
+            self._p(
+                f"\nTime step #{ts.step_no()}, advancing from t_n-1 = "
+                f"{fmt_g(ts.previous())} to t = {fmt_g(ts.now())} "
+                f"(dt = {fmt_g(ts.step_size())}). "
+            )
+        else:
+            freq = par.output_frequency
+            time = ts.now()
+            position = int(time * 1.0000000001 / freq)
+            slot = position * freq
+            if (time - slot) < ts.step_size() * 0.95:
+                self._p(f"{fmt_g(time)} ", end="", flush=True)
+        time = ts.now()
+        dir_vals = tuple(
+            jnp.asarray(np.asarray(fn(ns.u_space.node_coords[dofs], time)))
+            for fn, dofs in self._pre_newton_bc
+        )
+        tw = TimeWeights.from_time_stepping(ts)
+        abs_tol = jnp.float64(0.05 * par.tol_nl_iteration)
+        sub = par.concentration_subdivisions
+        dtau_inv = max(
+            0.95
+            / ((1.0 / (self.mesh.dim**2)) * self.minimal_edge_length / sub),
+            1.0 / (5.0 * ts.step_size()),
+        )
+        lo, hi = self.last_concentration_range
+        actual_diff = 3 if (lo < -1.02 or hi > 1.02) else 0
+        ex = ts.extrapolation_factors
+        n_blocks = 2
+        (
+            new_cur,
+            new_old,
+            new_oldold,
+            ls_new,
+            nv3,
+            en2,
+            kappa,
+            h,
+            user_u,
+            coeffs,
+            ru,
+            rp,
+            lin,
+            res_u,
+            res_p,
+            a_iters,
+            rhs_norm,
+            hist_it,
+            hist_valid,
+        ) = self._pre_newton_fn(
+            ns.solution[:n_blocks],
+            ns.solution_old[:n_blocks],
+            ns.solution_old_old[:n_blocks],
+            jnp.float64(f1),
+            jnp.float64(f2),
+            list(self.solution),
+            list(self.solution_old),
+            jnp.float64(ea),
+            jnp.float64(eb),
+            dir_vals,
+            self.normal_vector_field,
+            self.evaluated_normal_q,
+            tw,
+            abs_tol,
+            jnp.float64(dtau_inv),
+            jnp.float64(ts.old_step_size()),
+            ns.const_rhs[0],
+            ns.const_rhs[1],
+            ns.user_rhs[1],
+            (jnp.float64(ex[0]), jnp.float64(ex[1])),
+            actual_diff,
+            par.n_reinit_steps,
+        )
+        # state rotation (matches init_time_advance + the unfused setters)
+        for b in range(n_blocks):
+            ns.solution[b] = new_cur[b]
+            ns.solution_old[b] = new_old[b]
+            ns.solution_old_old[b] = new_oldold[b]
+        self.solution_old_old = list(self.solution_old)
+        self.solution_old = list(self.solution)
+        self.solution = list(ls_new)
+        self.normal_vector_field = nv3
+        self.evaluated_normal_q = en2
+        self.solution[1] = kappa
+        self.heaviside = h
+        ns.user_rhs[0] = user_u
+        ns.coefficients = coeffs
+        # ONE coalesced readback: advect/reinit diagnostics + the residual
+        if par.output_verbosity > 0:
+            a_iters, rhs_norm, hist_it, hist_valid, res_u_f, res_p_f = (
+                jax.device_get(
+                    (a_iters, rhs_norm, hist_it, hist_valid, res_u, res_p)
+                )
+            )
+            if not par.do_iteration:
+                self._p(
+                    f"  Concentration advance: advect "
+                    f"[{fmtg3(float(rhs_norm))}/{int(a_iters)}]",
+                    end="",
+                )
+                lead = "  " if ts.now() == ts.start() else " and "
+                self._p(f"{lead}reinitialize (", end="")
+                tags = []
+                for tau in range(len(hist_it)):
+                    if not bool(hist_valid[tau]):
+                        break
+                    prefix = "d" if tau < actual_diff else ""
+                    tags.append(f"{prefix}{int(hist_it[tau])}")
+                self._p(" + ".join(tags), end="")
+                self._p(")")
+        else:
+            res_u_f, res_p_f = jax.device_get((res_u, res_p))
+        return ns.compute_initial_residual(
+            precomputed=(ru, rp, lin, float(res_u_f), float(res_p_f))
+        )
+
     def advance_time_step(self):
         """One two-phase step (level_set_base.cc:188-291)."""
         ns = self.navier_stokes
+        ts = self.time_stepping
+        if self._pre_newton_eligible():
+            ts.next()
+            with ns.timer.section("LS advance concentration + reinit."):
+                actual_res = self._fused_pre_newton_step()
+            return self._finish_time_step(actual_res)
         self.init_time_advance()
         # wall-time sections for the `output wall times` summary; the fused
         # dispatches cover what the reference splits into "LS advance
@@ -566,6 +881,12 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
 
         with ns.timer.section("LS compute force."):
             actual_res = self._fused_force_and_initial_residual()
+        return self._finish_time_step(actual_res)
+
+    def _finish_time_step(self, actual_res: float):
+        """Excessive-residual correction + the Newton solve (shared tail of
+        the fused and unfused step paths, level_set_base.cc:260-291)."""
+        ns = self.navier_stokes
         ts = self.time_stepping
         if (
             ts.step_no() > 3 + self.last_smoothing_step
