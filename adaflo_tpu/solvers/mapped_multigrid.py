@@ -222,6 +222,7 @@ class ExtrudedGMG(ForestGMG):
         # once the z cell height outgrows the in-plane resolution too far
         # (a point smoother then no longer damps z-oscillatory modes)
         h_plane = float(mesh.base.cell_diameter)
+        stop_after = False
         while sp.n_dofs > min_coarse_nodes and n_slices % 2 == 0:
             if hi < len(base_history):
                 # base snapshot + halved z (full 3D coarsening)
@@ -235,13 +236,20 @@ class ExtrudedGMG(ForestGMG):
                 # coarse solve resolves all in-plane modes exactly — the
                 # ML-AMG role on extruded meshes built without refinement
                 # (micro_particle's 'global refinements = 0' configuration,
-                # ns_prec.cc:465-562). The guard is strict: once h_z
-                # outgrows the in-plane resolution, the level operator is
+                # ns_prec.cc:465-562). Anisotropy guard: once h_z outgrows
+                # the in-plane resolution, the level operator is
                 # plane-dominated and a point smoother no longer damps its
                 # z-oscillatory modes (measured: 145 CG its at 4x vs ~10
-                # within the guard)
+                # within the guard) — such a level is only admitted as the
+                # DIRECT-SOLVE bottom (it is never smoothed, so the guard
+                # does not apply to it; without this, micro_particle's
+                # 8-slice mesh got ZERO coarse levels and the "V-cycle"
+                # degenerated to its smoother: p-Poisson CG took 37 its,
+                # within noise of plain Chebyshev's 32)
                 if mesh.height / (n_slices // 2) > 1.5 * h_plane:
-                    break
+                    if sp.n_dofs // 2 > max_coarse_dense:
+                        break
+                    stop_after = True
                 cmesh2 = sp.mesh.base
                 cmap = sp.mapping
                 base_coarsened = False
@@ -265,6 +273,8 @@ class ExtrudedGMG(ForestGMG):
             )
             levels.append(make_level(csp))
             sp = csp
+            if stop_after:
+                break
         self.levels = levels
         self.coarse_n = levels[-1].space.n_dofs
         self.direct_coarse = self.coarse_n <= max_coarse_dense
