@@ -26,6 +26,21 @@ import jax as _jax
 if not _os.environ.get("ADAFLO_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Full-f32 matmul accuracy for the einsum compute path: the v5e MXU runs
+# f32 contractions as ONE bf16 pass by default (~4e-3 relative error per
+# product), which floors Newton residual evaluation ~5 decades above the
+# f32 floor — the beltrami_3d f32 step spun 10 non-contracting Newton
+# iterations at ||r|| ~ 0.26 (quadratic contraction to 4e-6 in 2-3
+# iterations with `highest`). f64/CPU runs are unaffected; the Pallas
+# resident kernel pins Precision.DEFAULT internally (its accuracy class
+# is bf16 by design via the streamed linearization — see
+# ops/pallas_matvec._block_core). Opt out with ADAFLO_TPU_FAST_MATMUL=1.
+if not _os.environ.get("ADAFLO_TPU_FAST_MATMUL"):
+    try:
+        _jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass
+
 # Persistent compilation cache: the solver pipelines are large jitted
 # programs (full two-phase steps), and re-runs of the same driver/test
 # configuration pay the full XLA compile each process otherwise. Opt out

@@ -242,6 +242,12 @@ def _block_core(g, dim, natural, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref):
     NOT production precision)."""
     pt = dict(preferred_element_type=jnp.float32 if x.dtype != jnp.float64
               else x.dtype)
+    # pin DEFAULT (bf16-pass) precision explicitly: the package sets the
+    # GLOBAL matmul precision to `highest` for the einsum path's Newton
+    # accuracy (beltrami_3d f32 stalled at the bf16 residual floor), but
+    # the resident kernel's accuracy class is bf16 by design (streamed
+    # linearization) and tripling its MXU passes would cost the headline
+    pt["precision"] = jax.lax.Precision.DEFAULT
     prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
     if prec:
         pt["precision"] = getattr(jax.lax.Precision, prec.upper())
@@ -320,7 +326,8 @@ def _kernel_su(
     either way."""
     beta = beta_ref[0]
     x = x_ref[:]
-    pt = dict(preferred_element_type=x.dtype)
+    pt = dict(preferred_element_type=x.dtype,
+              precision=jax.lax.Precision.DEFAULT)
     # r = A_evg @ x^T when natural (contract x's dof axis 1), else A_evg @ x
     cdim = ((1,), (1,)) if natural else ((1,), (0,))
     r = jax.lax.dot_general(
@@ -383,7 +390,8 @@ def _kernel_pi(
         x_ref[k, :] = win_ref[slot, srow, off : off + block]
     beta = beta_ref[0]
     x = x_ref[:]
-    pt = dict(preferred_element_type=x.dtype)
+    pt = dict(preferred_element_type=x.dtype,
+              precision=jax.lax.Precision.DEFAULT)
     r = jnp.dot(Ae_ref[:], x, **pt)
     s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
     _block_core(g, dim, False, beta, x, r, s, M_ref, Ai_ref, n_ref, out_ref)
@@ -583,6 +591,7 @@ def _kernel_pr(
     prec = os.environ.get("ADAFLO_PALLAS_PR_PREC")
     pt = dict(preferred_element_type=jnp.float32 if x.dtype != jnp.float64
               else x.dtype)
+    pt["precision"] = jax.lax.Precision.DEFAULT  # see _block_core
     if prec:
         pt["precision"] = getattr(jax.lax.Precision, prec.upper())
     Ae = Ae_ref[:]
