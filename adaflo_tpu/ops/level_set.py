@@ -179,17 +179,25 @@ class LevelSetOperators:
         )
         if self.stabilization:
             if (
-                self.is_forest
-                or self.is_mapped
+                self.is_mapped
                 or self.is_simplex
                 or getattr(ls_space, "is_extruded", False)
             ):
                 raise NotImplementedError(
                     "convection stabilization is implemented for uniform "
-                    "lattice meshes; unset it or use a uniform mesh"
+                    "lattices and adaptive forests (axis-aligned faces); "
+                    "curved/simplex meshes need real face quadrature"
                 )
             # diameter_on_coarse_grid of a hyper-rectangle = its diagonal
             self.omega_diameter = float(np.linalg.norm(mesh.lengths))
+            if self.is_forest:
+                # per-cell viscosity length scale (adv.cc:344-369 reads the
+                # cell diameter per cell)
+                self._stab_cell_diameter = jnp.asarray(
+                    np.max(np.asarray(ls_space.h_cells), axis=1)
+                )
+            else:
+                self._stab_cell_diameter = self.cell_diameter
             self._stab_faces = self._build_stab_faces()
 
         # interpolation of the concentration space onto pressure support
@@ -271,19 +279,28 @@ class LevelSetOperators:
 
     # -- advection (adv.cc:288-397, 217-258) ----------------------------
     def _build_stab_faces(self):
-        """Per boundary face (axis, side): the constant local matrix
-        T[i, j] = sum_qf phi_i (n . grad phi_j) w JxW of the stabilization
-        boundary-flux correction (adv.cc:569-620), plus the boundary-cell
-        mask on the cell raster. Symmetry faces are excluded (the reference
-        skips them) via the mesh's boundary-id bookkeeping by the caller
-        passing symmetry ids to set_stab_symmetry_faces."""
+        """Per boundary face (axis, side): the h-FREE local matrix
+        T_unit[i, j] = sum_qf phi_i (n . d_a phi_j) w of the stabilization
+        boundary-flux correction (adv.cc:569-620), plus a per-cell SCALE
+        array carrying the geometry: prod_{b != a} h_b / h_a on cells whose
+        (axis, side) face lies on the domain boundary, 0 elsewhere. The
+        separation is exact on axis-aligned cells (uniform lattices AND
+        adaptive forests), so one constant matrix serves variable cell
+        sizes. Symmetry faces are excluded (the reference skips them) via
+        set_stab_symmetry_faces."""
         mesh = self.ls_space.mesh
         basis = self.ls_space.basis
         pts, wts = iterated_gauss_quadrature(self.subdiv, 2)
         V1, _ = basis.tabulate(pts)
         Ve, De = basis.tabulate(np.array([0.0, 1.0]))
         d = self.dim
-        h = np.asarray(mesh.h, np.float64)
+        if self.is_forest:
+            centers = np.asarray(self.ls_space.cell_center, np.float64)
+            h_cells = np.asarray(self.ls_space.h_cells, np.float64)
+            origin = np.asarray(mesh.origin, np.float64)
+            far = origin + np.asarray(mesh.lengths, np.float64)
+        else:
+            h_uni = np.asarray(mesh.h, np.float64)
         faces = {}
         for a in range(d):
             for side in (0, 1):
@@ -293,11 +310,11 @@ class LevelSetOperators:
                 for b in reversed(range(d)):
                     if b == a:
                         mats_phi.append(Ve[side : side + 1, :])
-                        mats_dn.append(De[side : side + 1, :] / h[a])
+                        mats_dn.append(De[side : side + 1, :])
                     else:
                         mats_phi.append(V1)
                         mats_dn.append(V1)
-                        wlist.append(wts * h[b])
+                        wlist.append(wts)
                 Phi, Dn = mats_phi[0], mats_dn[0]
                 for mp_, md_ in zip(mats_phi[1:], mats_dn[1:]):
                     Phi = np.kron(Phi, mp_)
@@ -307,12 +324,32 @@ class LevelSetOperators:
                     wf = np.kron(wf, w2)
                 sign = -1.0 if side == 0 else 1.0
                 T = (Phi * wf[:, None]).T @ (sign * Dn)
-                cshape = tuple(reversed(mesh.n_cells_axis))
-                m = np.zeros(cshape, np.float64)
-                idx = [slice(None)] * d
-                idx[d - 1 - a] = 0 if side == 0 else mesh.n_cells_axis[a] - 1
-                m[tuple(idx)] = 1.0
-                faces[(a, side)] = (jnp.asarray(T), jnp.asarray(m.reshape(-1)))
+                rest = [b for b in range(d) if b != a]
+                if self.is_forest:
+                    face_pos = centers[:, a] + (
+                        0.5 if side == 1 else -0.5
+                    ) * h_cells[:, a]
+                    bound = far[a] if side == 1 else origin[a]
+                    on = (
+                        np.abs(face_pos - bound)
+                        < 1e-10 * max(1.0, abs(bound))
+                    )
+                    m = np.where(
+                        on,
+                        np.prod(h_cells[:, rest], axis=1) / h_cells[:, a],
+                        0.0,
+                    )
+                else:
+                    scale = float(np.prod(h_uni[rest]) / h_uni[a])
+                    cshape = tuple(reversed(mesh.n_cells_axis))
+                    m = np.zeros(cshape, np.float64)
+                    idx = [slice(None)] * d
+                    idx[d - 1 - a] = (
+                        0 if side == 0 else mesh.n_cells_axis[a] - 1
+                    )
+                    m[tuple(idx)] = scale
+                    m = m.reshape(-1)
+                faces[(a, side)] = (jnp.asarray(T), jnp.asarray(m))
         return faces
 
     def set_stab_symmetry_faces(self, axis_sides) -> None:
@@ -385,7 +422,7 @@ class LevelSetOperators:
             nu_art = (
                 0.03
                 * max_vel
-                * self.cell_diameter
+                * self._stab_cell_diameter  # per-cell on forests
                 * jnp.minimum(1.0, max_res / scaling)
             )
 

@@ -119,10 +119,79 @@ def test_stab_viscosity_formula_and_vmult(dim):
     assert float(jnp.abs(a1 - a_nostab).max()) > 1e-10
 
 
-def test_stab_rejected_on_nonuniform_meshes():
-    """Loud failure instead of a silent no-op on unsupported mesh kinds."""
-    from adaflo_tpu.mesh.forest import ForestMesh
+def test_stab_on_adaptive_forest():
+    """Convection stabilization on an ADAPTED forest (hanging nodes): the
+    volume/boundary-flux terms satisfy the integration-by-parts identity on
+    linear fields with the per-cell geometric face scales, and nu_art is a
+    finite per-cell array using the per-cell diameter (adv.cc:344-369 on
+    adaptive meshes — previously raised NotImplementedError here)."""
+    import io
 
+    from adaflo_tpu.drivers.rising_bubble import (
+        MicroFluidicProblem,
+        TwoPhaseParameters,
+        initial_distance,
+    )
+    from adaflo_tpu.functions import ZeroFunction
+
+    par = TwoPhaseParameters()
+    par.dimension = 2
+    par.global_refinements = 1
+    par.adaptive_refinements = 2
+    par.convection_stabilization = True
+    par.end_time = 0.0  # setup only
+    prob = MicroFluidicProblem(par, out=io.StringIO())
+    s = prob.solver
+    s.set_no_slip_boundary(0)
+    s.fix_pressure_constant(0)
+    s.set_symmetry_boundary(2)
+    s.setup_problem(ZeroFunction(2), initial_distance)
+    ops = s.ops
+    assert ops.stabilization
+    ls = ops.ls_space
+    E = ls.mesh.n_cells
+    assert ops._stab_cell_diameter.shape == (E,)
+
+    # integration-by-parts identity on a linear field, constant nu:
+    # int grad(phi) . nu grad(c) dV  ==  oint phi nu dc/dn dS on the domain
+    # boundary (interior hanging faces cancel through the conforming basis)
+    coords = np.asarray(ls.node_coords)
+    c = jnp.asarray(coords @ np.array([1.0, 2.0]) + 0.7)
+    # the solver pops the symmetry faces (the reference skips them,
+    # adv.cc:569-620) — restore the full set for the identity check, which
+    # needs every domain-boundary face of the arbitrary linear field
+    ops._stab_faces = ops._build_stab_faces()
+    cc = ops._gather_ls(c)
+    grad = ops.ev_ls.gradients(cc)
+    nu = jnp.ones(E)
+    vol = ops.ev_ls.integrate_gradients(nu[:, None, None] * grad)
+    face = ops._stab_face_term(cc, nu)
+    # condense: the conforming test function of a master dof includes its
+    # hanging slaves' rows (distribute_local_to_global tail) — the identity
+    # holds for the condensed residual
+    total = np.asarray(ops._scatter_ls(vol - face, ops.con_ls))
+    free = np.setdiff1d(
+        np.arange(ls.n_dofs), ops.con_ls.constrained_dofs
+    )
+    assert np.abs(total[: ls.n_dofs][free]).max() < 1e-10
+
+    # a stabilized advection rhs evaluates with per-cell nu_art
+    rng = np.random.default_rng(5)
+    n, nu_n = ls.n_dofs_padded, s.navier_stokes.u_space.n_dofs_padded
+    cr = jnp.asarray(rng.standard_normal(n) * 0.1)
+    u = jnp.asarray(rng.standard_normal((2, nu_n)))
+    tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
+    rhs, conv, nu_art = ops.advection_rhs(
+        cr, cr, cr, u, u, u, tw, True, jnp.float64(0.05)
+    )
+    assert nu_art is not None and nu_art.shape == (E,)
+    assert bool(jnp.all(jnp.isfinite(nu_art)))
+    assert bool(jnp.all(jnp.isfinite(rhs)))
+
+
+def test_stab_rejected_on_curved_meshes():
+    """Loud failure instead of a silent no-op on mesh kinds that need real
+    face quadrature (curved/simplex)."""
     par = FlowParameters.from_string(
         """
 subsection Two phase
