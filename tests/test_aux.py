@@ -41,6 +41,7 @@ end
     return prob
 
 
+@pytest.mark.medium
 def test_checkpoint_resume_exact(tmp_path):
     """Resuming from a checkpoint reproduces the uninterrupted trajectory
     exactly (the BDF-2 history is part of the state)."""
@@ -118,6 +119,7 @@ def test_vtu_output_timeseries(tmp_path):
     assert 'timestep="0.5"' in pvd
 
 
+@pytest.mark.medium
 def test_driver_vtk_output(tmp_path):
     """output vtk files = 1 produces a vtu series from the driver loop."""
     import contextlib
@@ -157,6 +159,7 @@ end
     assert any(tmp_path.glob("chan-*.vtu"))
 
 
+@pytest.mark.medium
 def test_sharp_interface_solvers_smoke():
     """All four sharp-interface method selections run a step and produce
     finite, rising flow."""

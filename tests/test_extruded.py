@@ -99,6 +99,7 @@ def test_extruded_curved_base():
     assert abs((np.asarray(v_r) * Ku).sum() - (np.asarray(u_r) * Kv).sum()) < 1e-10
 
 
+@pytest.mark.medium
 def test_extruded_ns_step():
     """Full NS time step on a small curved extruded mesh (Dirichlet lid)."""
     from adaflo_tpu.fe.extruded_space import ExtrudedSpace
@@ -188,6 +189,7 @@ def test_micro_particle_3d_short_golden():
     )
 
 
+@pytest.mark.medium
 def test_extruded_gmg_vcycle():
     """ExtrudedGMG (solvers/mapped_multigrid.py) on a distorted curved base:
     transfers are a partition of unity, and a V-cycle-preconditioned CG on
@@ -243,6 +245,7 @@ def test_extruded_gmg_vcycle():
     assert err < 1e-7, err
 
 
+@pytest.mark.medium
 def test_extruded_gmg_z_semicoarsening():
     """A base mesh built WITHOUT refinement (micro_particle's
     'global refinements = 0', so QuadMesh.history is empty) still gets a

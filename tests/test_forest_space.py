@@ -206,6 +206,7 @@ def test_forest_function_point_evaluation_vector():
     assert np.abs(vals[1] - 2.0 * pts[:, 1]).max() < 1e-13
 
 
+@pytest.mark.medium
 def test_forest_gmg_poisson():
     """Global-coarsening GMG on the forest hierarchy: mesh-independent-ish
     CG counts (counterpart of the reference's ML-AMG on p4est meshes) and
@@ -238,6 +239,7 @@ def test_forest_gmg_poisson():
     assert float(jnp.abs(r_gmg.x - r_diag.x).max()) < 1e-8
 
 
+@pytest.mark.medium
 def test_forest_gmg_helmholtz_state_reuse():
     """compute() is pure in (alpha, beta): two states from one geometry
     precondition different operators correctly."""

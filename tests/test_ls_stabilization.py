@@ -119,6 +119,7 @@ def test_stab_viscosity_formula_and_vmult(dim):
     assert float(jnp.abs(a1 - a_nostab).max()) > 1e-10
 
 
+@pytest.mark.medium
 def test_stab_on_adaptive_forest():
     """Convection stabilization on an ADAPTED forest (hanging nodes): the
     volume/boundary-flux terms satisfy the integration-by-parts identity on

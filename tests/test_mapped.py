@@ -159,6 +159,7 @@ def test_mapped_poisson_convergence():
 
 
 # ---------------------------------------------------------------------------
+@pytest.mark.medium
 def test_flow_past_cylinder_small_golden():
     from pathlib import Path
 

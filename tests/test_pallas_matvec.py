@@ -141,6 +141,7 @@ def test_pr_pack_preserves_inner_products():
     assert float(jnp.abs(pp - p1).max()) == 0.0
 
 
+@pytest.mark.medium
 def test_pr_resident_solver_step_matches_einsum(monkeypatch):
     """A full coupled Newton time step with the parity-RESIDENT Krylov
     solve (production default on eligible TPU meshes; forced on here via
