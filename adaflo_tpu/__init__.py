@@ -35,9 +35,17 @@ if not _os.environ.get("ADAFLO_TPU_NO_X64"):
 # resident kernel pins Precision.DEFAULT internally (its accuracy class
 # is bf16 by design via the streamed linearization — see
 # ops/pallas_matvec._block_core). Opt out with ADAFLO_TPU_FAST_MATMUL=1.
+# A host application that already chose its own default precision (config
+# or JAX_DEFAULT_MATMUL_PRECISION) keeps its choice — we only fill in the
+# unset default, so importing this package does not silently change the
+# numerics of unrelated JAX code.
 if not _os.environ.get("ADAFLO_TPU_FAST_MATMUL"):
     try:
-        _jax.config.update("jax_default_matmul_precision", "highest")
+        if (
+            _jax.config.jax_default_matmul_precision is None
+            and not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION")
+        ):
+            _jax.config.update("jax_default_matmul_precision", "highest")
     except Exception:
         pass
 

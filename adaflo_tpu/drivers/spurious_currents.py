@@ -33,7 +33,18 @@ class MicroFluidicProblem:
         self.out = out
         dim = parameters.dimension
         n = parameters.global_refinements
-        self.mesh = StructuredMesh((n,) * dim, (-2.5,) * dim, (5.0,) * dim)
+        if parameters.adaptive_refinements > 0:
+            # AMR configuration (spurious_currents_ls_3d.prm sets
+            # `adaptive refinements = 2`): forest-of-octrees so the warm-up
+            # loop and per-step marking can adapt around the interface, as
+            # the reference does via p4est (two_phase_base.cc:119-196)
+            from adaflo_tpu.mesh.forest import ForestMesh
+
+            self.mesh = ForestMesh((n,) * dim, (-2.5,) * dim, (5.0,) * dim)
+        else:
+            self.mesh = StructuredMesh(
+                (n,) * dim, (-2.5,) * dim, (5.0,) * dim
+            )
 
         if parameters.solver_method == "level set okz":
             from adaflo_tpu.twophase.level_set_okz import LevelSetOKZSolver

@@ -247,7 +247,18 @@ class ExtrudedGMG(ForestGMG):
                 # degenerated to its smoother: p-Poisson CG took 37 its,
                 # within noise of plain Chebyshev's 32)
                 if mesh.height / (n_slices // 2) > 1.5 * h_plane:
-                    if sp.n_dofs // 2 > max_coarse_dense:
+                    # admission uses the EXACT coarse dof count: an extruded
+                    # space has n_base_nodes * (deg*n_slices + 1) dofs, so a
+                    # z-halving keeps (deg*n_slices/2 + 1)/(deg*n_slices + 1)
+                    # of them — more than half (e.g. 2->1 slices at deg 1 is
+                    # 2/3). The old `n_dofs // 2` estimate could admit a
+                    # level that then failed the direct_coarse cap, leaving
+                    # the guard-violating level Chebyshev-smoothed as the
+                    # bottom — exactly what the guard exists to prevent.
+                    deg = space.degree
+                    n_base_nodes = sp.n_dofs // (deg * n_slices + 1)
+                    coarse_dofs = n_base_nodes * (deg * (n_slices // 2) + 1)
+                    if coarse_dofs > max_coarse_dense:
                         break
                     stop_after = True
                 cmesh2 = sp.mesh.base

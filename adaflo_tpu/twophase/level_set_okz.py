@@ -571,6 +571,14 @@ class LevelSetOKZSolver(TwoPhaseBaseAlgorithm):
         bd = ns.boundary
         dim = ns.dim
         dir_items = sorted(bd.dirichlet_conditions_u.items())
+        # skip boundaries with no dofs on this mesh, matching
+        # apply_boundary_conditions' `continue` — a BC callable that indexes
+        # its coords argument must never be called with an empty array
+        dir_items = [
+            (bid, fn)
+            for bid, fn in dir_items
+            if len(u_space.boundary_dofs(bid))
+        ]
         dir_dofs_np = [u_space.boundary_dofs(bid) for bid, _ in dir_items]
         # host-side evaluation data for the per-step Dirichlet values
         self._pre_newton_bc = [

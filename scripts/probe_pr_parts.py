@@ -75,7 +75,8 @@ def make_kernel_rowdma(g, dim, rows_table, win, block, parts):
             c.wait()
         beta = beta_ref[0]
         x = xbuf[slot]
-        pt = dict(preferred_element_type=x.dtype)
+        pt = dict(preferred_element_type=x.dtype,
+                  precision=jax.lax.Precision.DEFAULT)
         y_ref = n_ref  # reuse scratch? no: separate below
         r = jnp.dot(Ae_ref[:], x, **pt)
         s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
@@ -138,7 +139,8 @@ def make_kernel_pipe(g, dim, rows_table, win, block, parts):
         # MXU dots on the CURRENT block (assembled last step / at boot)
         beta = beta_ref[0]
         x = xbuf[slot]
-        pt = dict(preferred_element_type=x.dtype)
+        pt = dict(preferred_element_type=x.dtype,
+                  precision=jax.lax.Precision.DEFAULT)
         r = jnp.dot(Ae_ref[:], x, **pt)
         s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
 
@@ -197,7 +199,8 @@ def make_kernel(g, dim, rows_table, win, block, parts):
                 x_ref[k, :] = slab[slot, srow, off : off + block]
         beta = beta_ref[0]
         x = x_ref[:]
-        pt = dict(preferred_element_type=x.dtype)
+        pt = dict(preferred_element_type=x.dtype,
+                  precision=jax.lax.Precision.DEFAULT)
         if parts == "noscatter":
             x_ref[:] = x_ref[:] * mask_ref[:]
             out_ref[:] = x_ref[: out_ref.shape[0], :]
@@ -377,7 +380,10 @@ def main():
         print(f"{parts:9s} {ms:.4f} ms/apply", flush=True)
         return ms
 
-    for parts in ["full", "pipe"]:
+    import sys as _sys
+    variants = (_sys.argv[3].split(",") if len(_sys.argv) > 3
+                else ["datapath", "noshift", "mdot", "evdots", "full"])
+    for parts in variants:
         try:
             run_variant(parts)
         except Exception as ex:

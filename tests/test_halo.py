@@ -466,7 +466,16 @@ def test_halo_two_phase_step_collectives_are_permute_only():
             if not m:
                 continue
             dims = [int(d) for d in m.group(2).split(",") if d]
-            nbytes = 8 * int(np.prod(dims)) if dims else 8
+            # byte width from the HLO dtype token (f32 collectives were
+            # previously overestimated 2x by a hardcoded 8)
+            widths = {
+                "f64": 8, "u64": 8, "s64": 8, "c64": 8,
+                "f32": 4, "u32": 4, "s32": 4, "pred": 1,
+                "bf16": 2, "f16": 2, "u16": 2, "s16": 2,
+                "u8": 1, "s8": 1,
+            }
+            width = widths.get(m.group(1), 8)
+            nbytes = width * int(np.prod(dims)) if dims else width
             if nbytes > 4096:
                 large.append((line.strip()[:160], nbytes))
         budget = 1 if name == "_newton_loop_fn" else 0
