@@ -204,10 +204,17 @@ class NavierStokesOperator:
             == Linearization.coupled_implicit_newton
             and parameters.physical_type == PhysicalType.incompressible
             and flag != "0"
-            # below ~32k cells the (E, 89) transposes and kernel launches
-            # outweigh the fusion win (measured: 24^3 solve step ~5% slower,
-            # 48^3 mat-vec 2.6x faster); force with ADAFLO_PALLAS_MATVEC=1
-            and (mesh.n_cells >= 32768 or flag == "1")
+            # below ~32k cells the legacy "t" layout's (E, 89) transposes
+            # outweighed the fusion win; the parity-RESIDENT path has no
+            # per-apply relayouts, so 3D drops the gate to 4096 cells
+            # (27 u-dofs x 4096 anchors is already lane-rich — this puts
+            # the reference's own beltrami_3d config, 16^3 cells, on the
+            # fused kernel). Force with ADAFLO_PALLAS_MATVEC=1.
+            and (
+                mesh.n_cells >= 32768
+                or (self.dim == 3 and mesh.n_cells >= 4096)
+                or flag == "1"
+            )
         )
         if eligible:
             on_tpu = jax.default_backend() == "tpu"
@@ -902,17 +909,19 @@ class NavierStokesOperator:
                 getattr(lin, "qt", None) is not None
                 or getattr(lin, "dofs", None) is not None
             )
-            and coeffs.rho is None
-            and coeffs.mu is None
-            and coeffs.damping is None
+            # variable rho/mu/damping (two-phase) now ride the resident
+            # kernel as a streamed bf16 coefficient block (pr_coeff_stream)
+            # — the reference's own hot kernel streams the same per-q-point
+            # arrays (navier_stokes_matrix.cc:740-890)
         )
 
     def pr_pack(self, u, p=None):
         """(u (dim, n), p (n_p)) -> packed parity vector (R_pad, L): the
         per-component parity sub-lattices stacked (then pressure), rows
-        padded to a sublane multiple and columns to the resident length so
-        the apply's DMA windows never run off the end."""
-        from adaflo_tpu.ops.pallas_matvec import pr_params
+        padded to a sublane multiple and columns to the pr2 resident
+        length (a whole number of kernel blocks, so apply in/out shapes
+        are identical and the iterate never re-pads)."""
+        from adaflo_tpu.ops.pallas_matvec import pr2_params
 
         EA = self.lat_u.n_anchors
         rows = [self.lat_u._parity_subs(u[c]) for c in range(self.dim)]
@@ -923,7 +932,7 @@ class NavierStokesOperator:
         )
         x = jnp.concatenate(rows, axis=0)
         R_pad = -(-x.shape[0] // 8) * 8
-        _, _, _, L = pr_params(self._pr_rows_table(), EA)
+        _, _, _, L = pr2_params(self._pr_rows_table(), EA)
         return jnp.pad(x, ((0, R_pad - x.shape[0]), (0, L - x.shape[1])))
 
     def pr_unpack(self, x):
@@ -990,18 +999,58 @@ class NavierStokesOperator:
         cache = self._pr_cache = (m_id, m_signed, has_con, proj)
         return cache
 
-    def vmult_pr(self, x, tw: TimeWeights, lin: Linearized):
+    def pr_coeff_stream(self, coeffs: "Coefficients"):
+        """(ct, has) for the variable-coefficient resident kernel: the
+        (3g, L) bf16 per-q-point [rho | mu | damping] stream on the anchor
+        raster (None when all coefficients are constant). Build ONCE per
+        time step (coefficients are frozen across a nonlinear solve)."""
+        if (
+            coeffs.rho is None
+            and coeffs.mu is None
+            and coeffs.damping is None
+        ):
+            return None, (False, False, False)
+        from adaflo_tpu.ops.pallas_matvec import qcoeff_t
+
+        g = self._pallas_tables.g
+        ct = qcoeff_t(coeffs, self.n_q, g)
+        ct = self.lat_u.cells_to_anchors(ct)
+        has = (
+            coeffs.rho is not None,
+            coeffs.mu is not None,
+            coeffs.damping is not None,
+        )
+        return ct, has
+
+    def vmult_pr(
+        self,
+        x,
+        tw: TimeWeights,
+        lin: Linearized,
+        ct=None,
+        has=(False, False, False),
+        scale=None,
+        want_norm: bool = False,
+    ):
         """Coupled mat-vec on packed parity vectors (pr_pack layout in and
         out) — the parity-resident fast path of vmult. Semantics match
         vmult exactly for lattice meshes without hanging nodes: constraint
-        resolution/condensation reduce to elementwise masks and the
-        identity rows / pressure-average projection are applied in packed
-        space."""
-        from adaflo_tpu.ops.pallas_matvec import coupled_vmult_pr
+        resolution/condensation reduce to elementwise masks, the identity
+        rows fold into the kernel as a signed ids stream, and the
+        pressure-average projection is applied in packed space.
+
+        ct/has: optional variable-coefficient stream from pr_coeff_stream
+        (two-phase rho/mu/damping per q point). scale: optional scalar
+        folded into the output. want_norm: additionally return
+        sum(out^2) (fused in-kernel; only exact when no pressure-fix
+        projection applies afterwards)."""
+        from adaflo_tpu.ops.pallas_matvec import (
+            coupled_vmult_pr2,
+            prepare_ig,
+        )
 
         par = self.parameters
         m_id, m_signed, has_con, proj = self._pr_constants(x.dtype)
-        xr = x * (1.0 - m_id) if has_con else x
         s_t = lin.qt
         if s_t is None or s_t.shape[0] != self.dim * self.u_space.n_local:
             from adaflo_tpu.ops.pallas_matvec import qdofs_t
@@ -1009,28 +1058,38 @@ class NavierStokesOperator:
             s_t = qdofs_t(lin)
         if s_t.shape[-1] == self.u_space.mesh.n_cells:
             s_t = self.lat_u.cells_to_anchors(s_t)
+        if ct is not None:
+            prepare_ig(self._pallas_tables, self.ev_u)
         scalars = (
-            tw.weight * par.density - par.damping,
-            tw.tau1 * par.density,
             par.beta_convective_term_momentum_balance,
-            tw.tau1 * par.viscosity,
+            1.0,
+            tw.weight,
+            tw.tau1,
+            par.density,
+            par.viscosity,
+            par.damping,
             par.tau_grad_div,
         )
-        r = coupled_vmult_pr(
-            xr,
+        ids_t = None
+        if has_con:
+            ids_t = self._pr_ids_stream(x.dtype)
+        r = coupled_vmult_pr2(
+            x,
             s_t,
             self._pallas_tables,
             scalars,
             self._pr_rows_table(),
             self.lat_u.n_anchors,
-            self.lat_u.anchor_mask_dev(x.dtype),
+            self.lat_u.anchor_shape,
+            c_t=ct,
+            has=has,
+            ids_t=ids_t,
+            scale=scale,
+            want_norm=want_norm,
             interpret=self._pallas_interpret,
         )
-        # restore the resident column length (the kernel emits EA_pad)
-        if r.shape[1] < x.shape[1]:
-            r = jnp.pad(r, ((0, 0), (0, x.shape[1] - r.shape[1])))
-        if has_con:
-            r = r * (1.0 - m_id) + x * m_signed
+        if want_norm:
+            r, norm = r
         if proj is not None and not (
             par.linearization == Linearization.projection
             or par.physical_type == PhysicalType.incompressible_stationary
@@ -1041,7 +1100,19 @@ class NavierStokesOperator:
             EA = self.lat_u.n_anchors
             s = jnp.vdot(w_p, r[p0:p1, :EA])
             r = r.at[p0:p1, :EA].add(-(s * inv) * mode_p)
-        return r
+        return (r, norm) if want_norm else r
+
+    def _pr_ids_stream(self, dtype):
+        """Signed constraint-identity stream for the pr2 kernel: the packed
+        m_signed mask (+1 velocity / -1 pressure on constrained rows, 0
+        elsewhere) in bf16, cached per operator."""
+        cached = getattr(self, "_pr_ids_cache", None)
+        if cached is None:
+            _, m_signed, _, _ = self._pr_constants(dtype)
+            cached = self._pr_ids_cache = m_signed.astype(
+                jnp.bfloat16 if dtype == jnp.float32 else dtype
+            )
+        return cached
 
     def local_velocity_apply(
         self,

@@ -175,6 +175,65 @@ def combine_linear(tables: MatvecTables, scalars, dtype):
     return M89, A_ics, beta
 
 
+def build_tables_ig(tables: MatvecTables, ev_u, dtype=np.float64):
+    """Symmetric-stress integration matrix for the VARIABLE-coefficient
+    kernel: out_c = sum_d G_d^T W st_(cd) with st the 6 (3 in 2D) upper
+    symmetric stress row groups ordered (0,0),(0,1),(0,2),(1,1),(1,2),(2,2)
+    at stride g. The reference streams per-q-point rho/mu/damping through
+    the same hot kernel (navier_stokes_matrix.cc:740-890); this matrix is
+    the constant integration factor of the mu-dependent stress."""
+    Vu = np.asarray(ev_u.V, np.float64)
+    Du = np.asarray(ev_u.D, np.float64)
+    inv_h = np.asarray(ev_u.h, np.float64) ** -1
+    jxw = np.asarray(ev_u.jxw, np.float64)
+    dim = len(inv_h)
+    G = [
+        _tensor_nd([Du if dim - 1 - ax == a else Vu for ax in range(dim)])
+        * inv_h[a]
+        for a in range(dim)
+    ]
+    W = np.diag(jxw)
+    n_u = tables.n_u_loc
+    n_q = tables.n_q
+    g = tables.g
+    n_cols = dim * n_u + tables.n_p_loc
+    pairs = [(a, b) for a in range(dim) for b in range(a, dim)]
+    A_ig = np.zeros((n_cols, len(pairs) * g))
+    for k, (a, b) in enumerate(pairs):
+        # st_(ab) contributes to out_a via G_b^T W and (a != b) to out_b
+        # via G_a^T W
+        A_ig[a * n_u : (a + 1) * n_u, k * g : k * g + n_q] += G[b].T @ W
+        if a != b:
+            A_ig[b * n_u : (b + 1) * n_u, k * g : k * g + n_q] += G[a].T @ W
+    return A_ig.astype(dtype)
+
+
+def qcoeff_t(coeffs, n_q: int, g: int | None = None, dtype=jnp.bfloat16):
+    """(3g, E) per-q-point coefficient stream for the variable-coefficient
+    kernel: rows [rho (g) | mu (g) | damping (g)], each zero-padded from
+    n_q to the aligned stride g. Missing coefficients stream as zeros and
+    are substituted by the scalar parameters in-kernel (rho/mu) or dropped
+    (damping). bf16: the coefficients multiply the (already bf16-streamed)
+    frozen-linearization accuracy class."""
+    if g is None:
+        g = -(-n_q // 8) * 8
+    parts = []
+    for field in (coeffs.rho, coeffs.mu, coeffs.damping):
+        if field is None:
+            parts.append(None)
+            continue
+        parts.append(jnp.pad(field, ((0, 0), (0, g - n_q))).T)
+    E = next(p.shape[1] for p in parts if p is not None)
+    out = jnp.concatenate(
+        [
+            (p if p is not None else jnp.zeros((g, E)))
+            for p in parts
+        ],
+        axis=0,
+    )
+    return out.astype(dtype)
+
+
 def qfields_t(lin, g: int | None = None) -> jnp.ndarray:
     """(12g, E) frozen-linearization stream in kernel row order
     [per c: values, d/dx, d/dy, d/dz], each group zero-padded from n_q to
@@ -706,6 +765,592 @@ def coupled_vmult_pr(
         s_t,
     )
     return out
+
+
+def pr2_params(rows_table, n_anchors: int, block: int | None = None):
+    """Static geometry of the pr2 resident apply: (block, n_extra, nblk, L).
+
+    The resident vector is (R_pad, L) with L = nblk*block; the grid runs
+    nblk steps; each step reads its own block plus the next n_extra blocks
+    (clamped at the end — the clamped duplicate reads only feed anchors
+    that the phantom mask kills). L >= EA + max_off by construction, so
+    every real anchor's gather window hits valid (zero-padded) data."""
+    if block is None:
+        block = int(os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "4096"))
+    block = min(block, max(128, -(-n_anchors // 128) * 128))
+    max_off = max(off for _, off in rows_table)
+    n_extra = -(-max_off // block)
+    nblk = -(-n_anchors // block) + n_extra
+    return block, n_extra, nblk, nblk * block
+
+
+def _kernel_pr2(
+    g,
+    dim,
+    rows_table,
+    block,
+    n_extra,
+    moff_pad,
+    ash,
+    n_real,
+    variable,
+    has,
+    with_ids,
+    want_norm,
+    conv_bf16,
+    ring,
+    *refs,
+):
+    """Parity-resident coupled apply, v2 (round-5 kernel).
+
+    Differences from _kernel_pr:
+    - the packed vector streams with MINIMAL traffic: in ring mode (the
+      production default) a (k, R_pad, block) ring of slots is fed by one
+      block-sized DMA per grid step — no sliding-window re-read (38 % of
+      the input traffic at 48^3, 64 % at 84^3 in the old kernel) and no
+      tail copies; each gather row is at most two lane-contiguous pieces
+      across two ring slots. In "bs" mode the same two-piece gather reads
+      n_extra+1 BlockSpec inputs instead (simpler, but streams the vector
+      n_extra+1 times — measured slower; kept for A/B probing);
+    - the phantom-anchor mask is computed from lane iotas (no mask stream);
+    - constraint-identity rows fold in via an optional signed-ids stream
+      (out = r*(1-|ids|) + x*ids with ids = +/-1 on constrained rows,
+      replacing two full-vector XLA passes per apply);
+    - an optional output scale and a fused ||out||^2 accumulator (SMEM)
+      let Krylov chains drop their separate normalize passes;
+    - optional per-q-point variable coefficients (rho/mu/damping streamed
+      bf16) — the two-phase configuration of the reference's hot kernel
+      (navier_stokes_matrix.cc:740-890).
+    """
+    k_ring = n_extra + 1
+    (sc_ref, Ae_ref, Aev_ref, M_ref, Ai_ref) = refs[:5]
+    idx = 5
+    Aig_ref = None
+    if variable:
+        Aig_ref = refs[idx]
+        idx += 1
+    n_vec_ins = 1 if ring else k_ring
+    ins = refs[idx : idx + n_vec_ins]
+    idx += n_vec_ins
+    su_ref = refs[idx]
+    idx += 1
+    c_ref = None
+    if variable:
+        c_ref = refs[idx]
+        idx += 1
+    idss = None
+    if with_ids:
+        idss = refs[idx : idx + n_vec_ins]
+        idx += n_vec_ins
+    out_ref = refs[idx]
+    idx += 1
+    norm_ref = None
+    if want_norm:
+        norm_ref = refs[idx]
+        idx += 1
+    x_ref, n_ref = refs[idx], refs[idx + 1]
+    idx += 2
+    st_ref = None
+    if variable:
+        st_ref = refs[idx]
+        idx += 1
+    acc_ref = refs[idx]
+    idx += 1
+    slab = ids_slab = sem = ids_sem = None
+    if ring:
+        slab = refs[idx]
+        idx += 1
+        if with_ids:
+            ids_slab = refs[idx]
+            idx += 1
+        sem = refs[idx]
+        idx += 1
+        if with_ids:
+            ids_sem = refs[idx]
+            idx += 1
+
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    dtype = x_ref.dtype
+    f32 = jnp.float32 if dtype != jnp.float64 else dtype
+
+    if ring:
+        # sliding-window DMA: two ping-pong (R_pad, win) windows with
+        # win = block + moff_pad. Per step: ONE block-sized DMA refills the
+        # NEW part of the next window while a cheap VPU tail copy carries
+        # the moff_pad-column overlap — the old kernel's contiguous-window
+        # gather (one copy per row) is kept, but nothing is re-read from
+        # HBM through the overlap (38 % of the input traffic at 48^3, 64 %
+        # at 84^3)
+        win = block + moff_pad
+        L_total = nblk * block
+        s_cur = jax.lax.rem(
+            jnp.asarray(i, jnp.int32), jnp.asarray(2, jnp.int32)
+        )
+        s_nxt = 1 - s_cur
+
+        def dma_warm(hbm, sl, sm):
+            return pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, win)], sl.at[0], sm.at[0]
+            )
+
+        def dma_step(hbm, sl, sm):
+            # new columns of window i+1: absolute [i*block+win, +block),
+            # clamped in-bounds (the clamped reads only feed columns past
+            # EA, which the phantom mask kills)
+            src0 = pl.multiple_of(
+                jnp.minimum(
+                    jnp.asarray(i, jnp.int32) * block + win,
+                    L_total - block,
+                ),
+                128,
+            )
+            return pltpu.make_async_copy(
+                hbm.at[:, pl.ds(src0, block)],
+                sl.at[s_nxt, :, pl.ds(moff_pad, block)],
+                sm.at[s_nxt],
+            )
+
+        def warm_all():
+            d = [dma_warm(ins[0], slab, sem)]
+            if with_ids:
+                d.append(dma_warm(idss[0], ids_slab, ids_sem))
+            return d
+
+        def step_all():
+            d = [dma_step(ins[0], slab, sem)]
+            if with_ids:
+                d.append(dma_step(idss[0], ids_slab, ids_sem))
+            return d
+
+        # descriptor of the PREVIOUS step's DMA (same slot/semaphore and
+        # byte count: the wait only consumes the semaphore)
+        def step_all_prev():
+            d = [
+                pltpu.make_async_copy(
+                    ins[0].at[:, pl.ds(0, block)],
+                    slab.at[s_cur, :, pl.ds(moff_pad, block)],
+                    sem.at[s_cur],
+                )
+            ]
+            if with_ids:
+                d.append(
+                    pltpu.make_async_copy(
+                        idss[0].at[:, pl.ds(0, block)],
+                        ids_slab.at[s_cur, :, pl.ds(moff_pad, block)],
+                        ids_sem.at[s_cur],
+                    )
+                )
+            return d
+
+        @pl.when(i == 0)
+        def _warm():
+            for d in warm_all():
+                d.start()
+
+        @pl.when(i == 0)
+        def _warm_wait():
+            for d in warm_all():
+                d.wait()
+
+        @pl.when(i > 0)
+        def _step_wait():
+            # the DMA started at step i-1 targeted window i (slot s_cur)
+            for d in step_all_prev():
+                d.wait()
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if want_norm:
+            norm_ref[0, 0] = jnp.zeros((), f32)
+
+    # ---- gather: static two-piece row copies from the block inputs.
+    # With a constraint stream, the Dirichlet mask folds into the gather
+    # (x*(1-|ids|) = the constraint resolve on a hanging-node-free
+    # lattice), replacing a full-vector XLA pass per apply --------------
+    if ring:
+        # single contiguous-window copy per row (the old kernel's gather)
+        for k, (srow, off) in enumerate(rows_table):
+            v = slab[s_cur, srow, off : off + block]
+            if with_ids:
+                v = v * (
+                    1.0
+                    - jnp.abs(
+                        ids_slab[s_cur, srow, off : off + block].astype(
+                            dtype
+                        )
+                    )
+                )
+            x_ref[k, :] = v
+        # carry the window overlap into the next slot (VPU, ~nothing) and
+        # refill its new columns by DMA — overlaps the dots below
+        @pl.when(i + 1 < nblk)
+        def _slide():
+            slab[s_nxt, :, 0:moff_pad] = slab[s_cur, :, block:win]
+            if with_ids:
+                ids_slab[s_nxt, :, 0:moff_pad] = ids_slab[
+                    s_cur, :, block:win
+                ]
+            for d in step_all():
+                d.start()
+    else:
+
+        def piece(j, srow, c0, c1):
+            v = ins[j][srow, c0:c1]
+            if with_ids:
+                v = v * (
+                    1.0 - jnp.abs(idss[j][srow, c0:c1].astype(dtype))
+                )
+            return v
+
+        for k, (srow, off) in enumerate(rows_table):
+            j, r = divmod(off, block)
+            if r == 0:
+                x_ref[k, :] = piece(j, srow, 0, block)
+            else:
+                x_ref[k, 0 : block - r] = piece(j, srow, r, block)
+                x_ref[k, block - r : block] = piece(j + 1, srow, 0, r)
+
+    # ---- dense eval dots ------------------------------------------------
+    pt = dict(preferred_element_type=f32,
+              precision=jax.lax.Precision.DEFAULT)
+    x = x_ref[:]
+    xe = x
+    Ae = Ae_ref[:]
+    if conv_bf16 and dtype == jnp.float32:
+        # r only feeds the convective rows whose other factor is the bf16
+        # stream — a bf16 evaluate pass keeps their accuracy class
+        Ae = Ae.astype(jnp.bfloat16)
+        xe = x.astype(jnp.bfloat16)
+    r = jnp.dot(Ae, xe, **pt)
+    s = jnp.dot(Aev_ref[:], su_ref[:], **pt)
+
+    # ---- q-point rows (VPU) ---------------------------------------------
+    sc = sc_ref  # SMEM scalars, see coupled_vmult_pr2
+    beta = sc[0]
+    parts = dim + 1
+
+    def rows(blockv, part, c):
+        i0 = (c * parts + part) * g
+        return blockv[i0 : i0 + g]
+
+    val_u = [rows(r, 0, c) for c in range(dim)]
+    g_u = [[rows(r, 1 + d, c) for d in range(dim)] for c in range(dim)]
+    val_s = [rows(s, 0, c) for c in range(dim)]
+    g_s = [[rows(s, 1 + d, c) for d in range(dim)] for c in range(dim)]
+    div = g_u[0][0]
+    div_s = g_s[0][0]
+    for a in range(1, dim):
+        div = div + g_u[a][a]
+        div_s = div_s + g_s[a][a]
+
+    if variable:
+        weight, tau1, rho0, mu0, damp0 = sc[2], sc[3], sc[4], sc[5], sc[6]
+        has_rho, has_mu, has_damp = has
+        cw = c_ref[:].astype(f32)
+        cr = cw[0:g] if has_rho else rho0
+        cmu = cw[g : 2 * g] if has_mu else mu0
+        cd = cw[2 * g : 3 * g] if has_damp else damp0
+        for c in range(dim):
+            # convective Newton rows, balanced-tree accumulation
+            t0 = beta * (div * val_s[c] + div_s * val_u[c])
+            t1 = val_s[0] * g_u[c][0] + val_u[0] * g_s[c][0]
+            for e in range(1, dim):
+                t1 = t1 + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
+            conv = t0 + t1
+            # full q-point value rows: rho(q)*(weight*u + tau1*conv)
+            # - damping(q)*u  (the reference's per-q rho/damping arrays)
+            n_ref[c * g : (c + 1) * g] = cr * (
+                weight * val_u[c] + tau1 * conv
+            ) - cd * val_u[c]
+        # symmetric stress rows: tau1*mu(q)*(du_a/dx_b + du_b/dx_a)
+        tmu = tau1 * cmu
+        kk = 0
+        for a in range(dim):
+            for b in range(a, dim):
+                st_ref[kk * g : (kk + 1) * g] = tmu * (
+                    g_u[a][b] + g_u[b][a]
+                )
+                kk += 1
+        x_ref[:] = (
+            jnp.dot(M_ref[:], x, **pt)
+            + jnp.dot(Ai_ref[:], n_ref[:], **pt)
+            + jnp.dot(Aig_ref[:], st_ref[:], **pt)
+        )
+    else:
+        for c in range(dim):
+            t0 = beta * (div * val_s[c] + div_s * val_u[c])
+            t1 = val_s[0] * g_u[c][0] + val_u[0] * g_s[c][0]
+            for e in range(1, dim):
+                t1 = t1 + val_s[e] * g_u[c][e] + val_u[e] * g_s[c][e]
+            n_ref[c * g : (c + 1) * g] = t0 + t1
+        nn = n_ref[:]
+        Ai = Ai_ref[:]
+        if conv_bf16 and dtype == jnp.float32:
+            nn = nn.astype(jnp.bfloat16)
+            Ai = Ai.astype(jnp.bfloat16)
+        # the result block reuses x_ref as scratch (x is fully consumed as
+        # a loaded value above) — a separate value would cost a (89, B)
+        # spill per step
+        x_ref[:] = jnp.dot(M_ref[:], x, **pt) + jnp.dot(Ai, nn, **pt)
+
+    # ---- phantom mask from lane iotas -----------------------------------
+    if os.environ.get("ADAFLO_PR2_NOMASK") != "1":
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1) + i * block
+        m = None
+        stride = 1
+        for a in range(len(ash) - 1, -1, -1):
+            n_ax = ash[a]
+            ix = (col // stride) % n_ax if a > 0 else col // stride
+            ok = ix < (n_ax - 1)
+            m = ok if m is None else jnp.logical_and(m, ok)
+            stride *= n_ax
+        x_ref[:] = x_ref[:] * m.astype(dtype)
+
+    # ---- overlap-add scatter into the ring accumulator ------------------
+    for k, (srow, off) in enumerate(rows_table):
+        acc_ref[srow, off : off + block] += x_ref[k, :]
+
+    # ---- emit the completed columns -------------------------------------
+    e = acc_ref[:, :block]
+    if with_ids:
+        # identity rows: out = r*(1-|ids|) + x*ids with x the UNMASKED
+        # input (this block's resident vector and its signed mask)
+        if ring:
+            ids = ids_slab[s_cur, :, 0:block].astype(dtype)
+            xin = slab[s_cur, :, 0:block]
+        else:
+            ids = idss[0][:, :].astype(dtype)
+            xin = ins[0][:, :]
+        e = e * (1.0 - jnp.abs(ids)) + xin * ids
+    scale = sc[1]
+    e = e * scale
+    out_ref[:] = e
+    if want_norm:
+        norm_ref[0, 0] += jnp.sum(e.astype(f32) * e.astype(f32))
+    carry_w = moff_pad
+    acc_ref[:, :carry_w] = acc_ref[:, block : block + carry_w]
+    acc_ref[:, carry_w:] = jnp.zeros_like(acc_ref[:, carry_w:])
+
+
+def coupled_vmult_pr2(
+    subs,
+    s_t,
+    tables: MatvecTables,
+    scalars,
+    rows_table,
+    n_anchors: int,
+    ash,
+    *,
+    c_t=None,
+    has=(False, False, False),
+    ids_t=None,
+    scale=None,
+    want_norm: bool = False,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    """Fused coupled apply, parity-resident v2 (see _kernel_pr2).
+
+    subs: (R_pad, L) resident packed vector with L = pr2_params(...)[3]
+    (the caller pads; out has the SAME shape — residency is shape-stable).
+    s_t: (dim n_u_loc, >=L) bf16 dof stream. ash: anchor raster shape
+    (z, y, x)-ordered. c_t: optional (3g, >=L) coefficient stream with
+    `has` flagging which of (rho, mu, damping) are streamed. ids_t:
+    optional (R_pad, >=L) signed constraint-identity stream (+/-1 on
+    constrained rows). scale: optional scalar multiplier folded into the
+    output. want_norm: additionally return sum(out^2) as a scalar.
+
+    scalars: (beta, scale, weight, tau1, rho0, mu0, damp0, tgd) — the
+    kernel receives them as one SMEM vector; combine_linear-equivalent
+    folding happens here (constant-coefficient mode folds mass/viscous
+    into M89 exactly as combine_linear)."""
+    dtype = subs.dtype
+    n_cols = len(rows_table)
+    EA = n_anchors
+    block, n_extra, nblk, L = pr2_params(rows_table, EA, block)
+    R_pad = subs.shape[0]
+    assert R_pad % 8 == 0 and subs.shape[1] == L, (subs.shape, L)
+    max_off = max(off for _, off in rows_table)
+    moff_pad = -(-max_off // 128) * 128
+
+    g = tables.g
+    dim = tables.dim
+    n_su = dim * tables.n_u_loc
+    assert s_t.shape[0] == n_su
+    variable = c_t is not None
+
+    beta, scale_v, weight, tau1, rho0, mu0, damp0, tgd = scalars
+    f32 = jnp.float32 if dtype != jnp.float64 else dtype
+    if scale is not None:
+        scale_v = scale
+    sc = jnp.stack(
+        [jnp.asarray(v, f32) for v in
+         (beta, scale_v, weight, tau1, rho0, mu0, damp0)]
+    )
+    Ae = jnp.asarray(tables.A_evg, dtype)
+    n_rows = Ae.shape[0]
+    if variable:
+        # M89 keeps only the truly-constant terms; mass/damping ride the
+        # value rows, viscous rides the streamed stress
+        M89 = jnp.asarray(tgd, dtype) * jnp.asarray(
+            tables.M_gd, dtype
+        ) + jnp.asarray(tables.M_pdiv, dtype)
+        A_ics = jnp.asarray(tables.A_ic, dtype)  # pure V^T W
+    else:
+        rho_w = rho0 * weight - damp0
+        M89, A_ics, _ = combine_linear(
+            tables, (rho_w, tau1 * rho0, beta, tau1 * mu0, tgd), dtype
+        )
+
+    def pad_cols(arr, want):
+        if arr.shape[-1] < want:
+            arr = jnp.pad(arr, ((0, 0), (0, want - arr.shape[-1])))
+        return arr[:, :want]
+
+    s_t = pad_cols(s_t, L)
+    if variable:
+        c_t = pad_cols(c_t, L)
+    with_ids = ids_t is not None
+    if with_ids:
+        ids_t = pad_cols(ids_t, L)
+
+    rep2 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((7,), lambda i: (0,), memory_space=pltpu.SMEM),
+        rep2((n_rows, n_cols)),
+        rep2((n_rows, n_su)),
+        rep2((n_cols, n_cols)),
+        rep2((n_cols, dim * g)),
+    ]
+    operands = [sc, Ae, jnp.asarray(tables.A_evg[:, :n_su], s_t.dtype),
+                M89, A_ics]
+    if variable:
+        Aig = _AIG_CACHE.get(id(tables))
+        assert Aig is not None, "call prepare_ig(tables, ev_u) first"
+        n_pairs = dim * (dim + 1) // 2
+        in_specs.append(rep2((n_cols, n_pairs * g)))
+        operands.append(jnp.asarray(Aig, dtype))
+
+    ring = os.environ.get("ADAFLO_PR2_MODE", "ring") == "ring"
+    last = nblk - 1
+    if ring:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(subs)
+    else:
+        for j in range(n_extra + 1):
+            in_specs.append(
+                pl.BlockSpec(
+                    (R_pad, block),
+                    (lambda i, j=j: (0, jnp.minimum(i + j, last))),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(subs)
+    in_specs.append(
+        pl.BlockSpec((n_su, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(s_t)
+    if variable:
+        in_specs.append(
+            pl.BlockSpec((3 * g, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(c_t)
+    if with_ids:
+        if ring:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(ids_t)
+        else:
+            for j in range(n_extra + 1):
+                in_specs.append(
+                    pl.BlockSpec(
+                        (R_pad, block),
+                        (lambda i, j=j: (0, jnp.minimum(i + j, last))),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                operands.append(ids_t)
+
+    out_specs = [
+        pl.BlockSpec((R_pad, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((R_pad, L), dtype)]
+    if want_norm:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
+
+    scratch = [
+        pltpu.VMEM((n_cols, block), dtype),
+        pltpu.VMEM((dim * g, block), dtype),
+    ]
+    if variable:
+        n_pairs = dim * (dim + 1) // 2
+        scratch.append(pltpu.VMEM((n_pairs * g, block), dtype))
+    scratch.append(pltpu.VMEM((R_pad, block + moff_pad), dtype))
+    if ring:
+        win = block + moff_pad
+        scratch.append(pltpu.VMEM((2, R_pad, win), dtype))
+        if with_ids:
+            scratch.append(pltpu.VMEM((2, R_pad, win), ids_t.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        if with_ids:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    kernel = functools.partial(
+        _kernel_pr2,
+        g,
+        dim,
+        tuple(rows_table),
+        block,
+        n_extra,
+        moff_pad,
+        tuple(ash),
+        EA,
+        variable,
+        tuple(has),
+        with_ids,
+        want_norm,
+        os.environ.get("ADAFLO_PALLAS_PR_BF16", "") == "conv",
+        ring,
+    )
+    vmem_mb = int(os.environ.get("ADAFLO_PR2_VMEM_MB", "0"))
+    params = {}
+    if vmem_mb and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=out_specs if want_norm else out_specs[0],
+        out_shape=out_shape if want_norm else out_shape[0],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(*operands)
+    if want_norm:
+        return out[0], out[1][0, 0]
+    return out
+
+
+_AIG_CACHE: dict = {}
+
+
+def prepare_ig(tables: MatvecTables, ev_u, dtype=np.float64):
+    """Build and cache the stress-integration matrix for `tables`."""
+    if id(tables) not in _AIG_CACHE:
+        _AIG_CACHE[id(tables)] = build_tables_ig(tables, ev_u, dtype)
+    return _AIG_CACHE[id(tables)]
 
 
 def coupled_vmult_parity(

@@ -376,7 +376,10 @@ class NavierStokes(FlowBaseAlgorithm):
                 # exchange per apply, navier_stokes.cc:1255-1317); the
                 # preconditioner applies at the pack boundary
                 b = op.pr_pack(rhs_u, rhs_p)
-                A = lambda x: op.vmult_pr(x, tw, lin)
+                # variable two-phase rho/mu/damping stream, built once per
+                # solve (XLA hoists it out of the Krylov while_loop)
+                ct, has = op.pr_coeff_stream(state.coeffs)
+                A = lambda x: op.vmult_pr(x, tw, lin, ct=ct, has=has)
 
                 def M(r):
                     mu_, mp_ = prec.apply(
@@ -844,9 +847,10 @@ class NavierStokes(FlowBaseAlgorithm):
 
                 def chained_pr(u0, p0):
                     x = op.pr_pack(u0, p0)
+                    ct, has = op.pr_coeff_stream(st.coeffs)
 
                     def body(i, x):
-                        r = op.vmult_pr(x, tw, lin)
+                        r = op.vmult_pr(x, tw, lin, ct=ct, has=has)
                         s = 1.0 / jnp.maximum(
                             jnp.sqrt(jnp.mean(r * r)), 1e-30
                         )

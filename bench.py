@@ -111,14 +111,22 @@ end
 
             @jax.jit
             def chained_pr(u, p, ll):
+                # the round-5 kernel fuses the chain's normalization into
+                # the apply (output scale + in-kernel ||r||^2), so each
+                # iteration is exactly ONE kernel — no separate
+                # full-vector normalize pass rides the timing
                 x = op.pr_pack(u, p)
 
-                def body(i, xx):
-                    r = op.vmult_pr(xx, tw, ll)
-                    s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
-                    return r * s
+                def body(i, carry):
+                    xx, n = carry
+                    r, n2 = op.vmult_pr(
+                        xx, tw, ll, scale=jax.lax.rsqrt(n), want_norm=True
+                    )
+                    return r, jnp.maximum(n2, 1e-60)
 
-                x = jax.lax.fori_loop(0, reps, body, x)
+                x, _ = jax.lax.fori_loop(
+                    0, reps, body, (x, jnp.asarray(1.0, x.dtype))
+                )
                 ru, rp = op.pr_unpack(x)
                 return jnp.sum(ru) + jnp.sum(rp)
 
@@ -395,12 +403,16 @@ def _matvec_time(cells: int, layout: str, reps: int) -> dict:
         def chained(uu, pp, ll):
             x = op.pr_pack(uu, pp)
 
-            def body(i, xx):
-                r = op.vmult_pr(xx, tw, ll)
-                s = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(r * r)), 1e-30)
-                return r * s
+            def body(i, carry):
+                xx, n = carry
+                r, n2 = op.vmult_pr(
+                    xx, tw, ll, scale=jax.lax.rsqrt(n), want_norm=True
+                )
+                return r, jnp.maximum(n2, 1e-60)
 
-            x = jax.lax.fori_loop(0, reps, body, x)
+            x, _ = jax.lax.fori_loop(
+                0, reps, body, (x, jnp.asarray(1.0, x.dtype))
+            )
             ru, rp = op.pr_unpack(x)
             return jnp.sum(ru) + jnp.sum(rp)
 

@@ -195,3 +195,90 @@ end
     scale = np.abs(u_ref).max()
     assert np.abs(u_pr - u_ref).max() < 1e-7 * scale
     assert np.abs(p_pr - p_ref).max() < 1e-6 * max(np.abs(p_ref).max(), 1.0)
+
+
+@pytest.mark.parametrize("variant", ["constrained", "varcoeff", "both"])
+def test_pr2_constraints_and_variable_coefficients(monkeypatch, variant):
+    """Round-5 kernel features: (a) the constraint-identity rows fold into
+    the resident kernel as a signed ids stream (gather-side resolve +
+    emission-side identity), (b) per-q-point variable rho/mu/damping
+    stream through the kernel (the reference's two-phase configuration of
+    the hot kernel, navier_stokes_matrix.cc:740-890). Both must match the
+    einsum vmult to machine precision."""
+    import jax
+
+    par, us, ps, cu, cp = _make_op(3, 2)
+    if variant in ("constrained", "both"):
+        # Dirichlet rows on two boundaries + a pressure fix dof
+        bdofs = us.boundary_dofs(0)
+        cu = []
+        for c in range(3):
+            con = Constraints(us.n_dofs)
+            con.add_dirichlet(bdofs)
+            con.close()
+            cu.append(con)
+        cp = Constraints(ps.n_dofs)
+        cp.add_dirichlet(np.array([0]))
+        cp.close()
+
+    monkeypatch.setenv("ADAFLO_PALLAS_LAYOUT", "pr")
+    monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "1")
+    op_pl = NavierStokesOperator(par, us, ps, cu, cp)
+    monkeypatch.setenv("ADAFLO_PALLAS_MATVEC", "0")
+    op_ref = NavierStokesOperator(par, us, ps, cu, cp)
+
+    tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
+    key = jax.random.PRNGKey(5)
+    u = jax.random.normal(key, (3, us.n_dofs))
+    p = jax.random.normal(key, (ps.n_dofs,))
+    ld = op_ref._gather_u(u, resolve=False)
+    lv = op_ref.ev_u.values(ld)
+    lg = op_ref.ev_u.gradients(ld)
+    lin = Linearized(lv, lg, jnp.trace(lg, axis1=1, axis2=2), ld)
+
+    from adaflo_tpu.ops.navier_stokes import Coefficients
+
+    coeffs = Coefficients()
+    if variant in ("varcoeff", "both"):
+        E, n_q = us.mesh.n_cells, op_ref.n_q
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        coeffs = Coefficients(
+            rho=1.0 + jax.random.uniform(k1, (E, n_q)),
+            mu=0.1 + 0.05 * jax.random.uniform(k2, (E, n_q)),
+            damping=0.3 * jax.random.uniform(k3, (E, n_q)),
+        )
+
+    ru2, rp2 = op_ref.vmult(u, p, tw, lin, coeffs)
+
+    assert op_pl.pr_active(lin, coeffs)
+    x = op_pl.pr_pack(u, p)
+    ct, has = op_pl.pr_coeff_stream(coeffs)
+    if variant == "constrained":
+        assert ct is None
+    else:
+        # f64 stream for the exactness comparison (deployment uses bf16)
+        from adaflo_tpu.ops.pallas_matvec import qcoeff_t
+
+        ct = op_pl.lat_u.cells_to_anchors(
+            qcoeff_t(coeffs, op_pl.n_q, op_pl._pallas_tables.g,
+                     dtype=jnp.float64)
+        )
+    r, norm = op_pl.vmult_pr(x, tw, lin, ct=ct, has=has, want_norm=True)
+    ru1, rp1 = op_pl.pr_unpack(r)
+
+    scale = float(jnp.abs(ru2).max())
+    assert (
+        float(jnp.abs(ru1[:, : us.n_dofs] - ru2[:, : us.n_dofs]).max())
+        < 1e-12 * scale
+    )
+    assert (
+        float(jnp.abs(rp1[: ps.n_dofs] - rp2[: ps.n_dofs]).max())
+        < 1e-12 * scale
+    )
+    # fused norm matches the packed result's norm
+    assert abs(float(norm) - float(jnp.vdot(r, r))) < 1e-10 * max(
+        float(jnp.vdot(r, r)), 1.0
+    )
+    # fused output scale is exact
+    r3 = op_pl.vmult_pr(x, tw, lin, ct=ct, has=has, scale=jnp.float64(0.5))
+    assert float(jnp.abs(r3 - 0.5 * r).max()) < 1e-13 * scale
