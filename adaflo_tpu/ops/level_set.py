@@ -177,28 +177,40 @@ class LevelSetOperators:
         self.stabilization = bool(
             getattr(parameters, "convection_stabilization", False)
         )
+        self._stab_faces_general = None
         if self.stabilization:
             if (
                 self.is_mapped
                 or self.is_simplex
                 or getattr(ls_space, "is_extruded", False)
             ):
-                raise NotImplementedError(
-                    "convection stabilization is implemented for uniform "
-                    "lattices and adaptive forests (axis-aligned faces); "
-                    "curved/simplex meshes need real face quadrature"
+                # curved / simplex / extruded meshes: the boundary-flux
+                # correction uses REAL per-face quadrature with the full
+                # cell geometry (one dense (n_loc, n_loc) matrix per
+                # boundary face; the reference's FEFaceValues path,
+                # adv.cc:569-620). The volume terms already ride the
+                # general evaluators; the per-cell viscosity length scale
+                # is the Jacobian-eigenvalue diameter computed above.
+                verts = self._mesh_vertices_for_diameter(ls_space)
+                self.omega_diameter = float(
+                    np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
                 )
-            # diameter_on_coarse_grid of a hyper-rectangle = its diagonal
-            self.omega_diameter = float(np.linalg.norm(mesh.lengths))
-            if self.is_forest:
-                # per-cell viscosity length scale (adv.cc:344-369 reads the
-                # cell diameter per cell)
-                self._stab_cell_diameter = jnp.asarray(
-                    np.max(np.asarray(ls_space.h_cells), axis=1)
-                )
+                self._stab_cell_diameter = jnp.asarray(diam)
+                self._stab_faces = {}
+                self._stab_faces_general = self._build_stab_faces_general()
             else:
-                self._stab_cell_diameter = self.cell_diameter
-            self._stab_faces = self._build_stab_faces()
+                # diameter_on_coarse_grid of a hyper-rectangle = its
+                # diagonal
+                self.omega_diameter = float(np.linalg.norm(mesh.lengths))
+                if self.is_forest:
+                    # per-cell viscosity length scale (adv.cc:344-369
+                    # reads the cell diameter per cell)
+                    self._stab_cell_diameter = jnp.asarray(
+                        np.max(np.asarray(ls_space.h_cells), axis=1)
+                    )
+                else:
+                    self._stab_cell_diameter = self.cell_diameter
+                self._stab_faces = self._build_stab_faces()
 
         # interpolation of the concentration space onto pressure support
         # points (level_set_base.cc:65-137), for grad-pressure-compatible
@@ -355,9 +367,20 @@ class LevelSetOperators:
     def set_stab_symmetry_faces(self, axis_sides) -> None:
         """Drop the stabilization boundary term on symmetry faces
         (adv.cc:432-434): axis_sides = iterable of (axis, side)."""
-        if self.stabilization:
-            for key in axis_sides:
-                self._stab_faces.pop(tuple(key), None)
+        if not self.stabilization:
+            return
+        for key in axis_sides:
+            self._stab_faces.pop(tuple(key), None)
+        if self._stab_faces_general is not None:
+            drop = {tuple(k) for k in axis_sides}
+            cells, T, tags = self._stab_faces_general
+            keep = np.array(
+                [t not in drop for t in tags], dtype=bool
+            )
+            self._stab_faces_general = (
+                cells[np.where(keep)[0]], T[np.where(keep)[0]],
+                [t for t, k in zip(tags, keep) if k],
+            )
 
     def _stab_face_term(self, c_loc, nu_art):
         """(E, n_loc) local dofs -> (E, n_loc) boundary flux
@@ -365,7 +388,178 @@ class LevelSetOperators:
         out = jnp.zeros_like(c_loc)
         for T, m in self._stab_faces.values():
             out = out + (m * nu_art)[:, None] * (c_loc @ T.T)
+        if self._stab_faces_general is not None:
+            cells, Tg, _ = self._stab_faces_general
+            if len(cells):
+                contrib = jnp.einsum(
+                    "fij,fj->fi", Tg, c_loc[cells]
+                ) * (
+                    nu_art[cells][:, None]
+                    if not np.isscalar(nu_art) and jnp.ndim(nu_art)
+                    else nu_art
+                )
+                out = out.at[cells].add(contrib)
         return out
+
+    @staticmethod
+    def _mesh_vertices_for_diameter(sp) -> np.ndarray:
+        """All mesh vertex coordinates (for the coarse-grid diameter of
+        the artificial-viscosity scaling, adv.cc get_diameter)."""
+        if getattr(sp, "is_extruded", False):
+            base = sp.mesh.base.vertices
+            lo = np.concatenate([base.min(axis=0), [sp.mesh.z0]])
+            hi = np.concatenate(
+                [base.max(axis=0), [sp.mesh.z0 + sp.mesh.height]]
+            )
+            return np.stack([lo, hi])
+        return np.asarray(sp.mesh.vertices)
+
+    @staticmethod
+    def _tensor_tab(basis, pts):
+        """Full tensor tabulation of a 1D basis at 2D reference points:
+        (V (n_p, n_loc), D (n_p, n_loc, 2)), x-fastest local flattening."""
+        Vx, Dx = basis.tabulate(pts[:, 0])
+        Vy, Dy = basis.tabulate(pts[:, 1])
+        V = np.einsum("pj,pi->pji", Vy, Vx).reshape(len(pts), -1)
+        D0 = np.einsum("pj,pi->pji", Vy, Dx).reshape(len(pts), -1)
+        D1 = np.einsum("pj,pi->pji", Dy, Vx).reshape(len(pts), -1)
+        return V, np.stack([D0, D1], axis=-1)
+
+    def _mapped_face_mats(self, sp, t, w):
+        """Per boundary face of a curved-quad base: (cell, T (n,n), tag)
+        with T[i,j] = oint phi_i (n . grad phi_j) dS on the face, built
+        from the isoparametric mapping's Jacobians (exact for the
+        piecewise basis with the iterated rule in `t`, `w`)."""
+        mesh = sp.mesh
+        mp = sp.mapping
+        z = np.zeros_like(t)
+        o = np.ones_like(t)
+        ref = {
+            0: np.stack([t, z], 1),
+            1: np.stack([t, o], 1),
+            2: np.stack([z, t], 1),
+            3: np.stack([o, t], 1),
+        }
+        tab = {lf: self._tensor_tab(sp.basis, ref[lf]) for lf in range(4)}
+        jac = {lf: mp.jacobians(ref[lf]) for lf in range(4)}
+        centers = mesh.cell_centers()
+        param_axis = {0: 0, 1: 0, 2: 1, 3: 1}
+        out = []
+        for key in mesh.boundary_edge_keys:
+            e, lf = sp._edge_adj[key]
+            V2, D2 = tab[lf]
+            J, X = jac[lf]
+            Je, Xe = J[e], X[e]  # (n_q, 2, 2), (n_q, 2)
+            Jinv = np.linalg.inv(Je)  # (n_q, 2, 2)
+            grad = np.einsum("qba,qjb->qja", Jinv, D2)  # J^{-T} D
+            tang = Je[:, :, param_axis[lf]]  # (n_q, 2)
+            tlen = np.linalg.norm(tang, axis=1)
+            nrm = np.stack([tang[:, 1], -tang[:, 0]], 1) / tlen[:, None]
+            if np.dot(nrm.mean(axis=0), Xe.mean(axis=0) - centers[e]) < 0:
+                nrm = -nrm
+            ndg = np.einsum("qa,qja->qj", nrm, grad)  # (n_q, n_loc)
+            T = np.einsum("q,qi,qj->ij", w * tlen, V2, ndg)
+            tag = None
+            if np.allclose(nrm, nrm[0:1], atol=1e-12):
+                for a in range(2):
+                    if abs(abs(nrm[0, a]) - 1.0) < 1e-12:
+                        tag = (a, 1 if nrm[0, a] > 0 else 0)
+            out.append((e, T, tag, nrm, tlen, V2, ndg, w))
+        return out
+
+    def _build_stab_faces_general(self):
+        """(cells (F,), T (F, n_loc, n_loc), tags) for every domain-
+        boundary face on mapped / simplex / extruded meshes — the
+        FEFaceValues-grade counterpart of the lattice path's separable
+        matrices (adv.cc:569-620)."""
+        sp = self.ls_space
+        t, w = iterated_gauss_quadrature(self.subdiv, 2)
+        cells, mats, tags = [], [], []
+        if self.is_simplex:
+            from adaflo_tpu.mesh.unstructured import TriMesh
+
+            mesh = sp.mesh
+            centers = mesh.cell_centers()
+            V1d = None
+            for key in mesh.boundary_edge_keys:
+                e, lf = sp._edge_adj[key]
+                cell = mesh.cells[e]
+                a, b = TriMesh._LOCAL_EDGES[lf]
+                # reference triangle vertices
+                rv = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+                pts = rv[a][None, :] + t[:, None] * (rv[b] - rv[a])[None, :]
+                V, D = sp.element.tabulate(pts)  # (n_q, n), (n_q, n, 2)
+                v = mesh.vertices[cell]
+                Jc = np.stack([v[1] - v[0], v[2] - v[0]], axis=-1)
+                Jinv = np.linalg.inv(Jc)
+                grad = np.einsum("ba,qjb->qja", Jinv, D)
+                pa, pb = mesh.vertices[cell[a]], mesh.vertices[cell[b]]
+                tangp = pb - pa
+                tlen = np.linalg.norm(tangp)
+                nrm = np.array([tangp[1], -tangp[0]]) / tlen
+                mid = 0.5 * (pa + pb)
+                if np.dot(nrm, mid - centers[e]) < 0:
+                    nrm = -nrm
+                ndg = np.einsum("a,qja->qj", nrm, grad)
+                T = np.einsum("q,qi,qj->ij", w * tlen, V, ndg)
+                cells.append(e)
+                mats.append(T)
+                tag = None
+                for ax in range(2):
+                    if abs(abs(nrm[ax]) - 1.0) < 1e-12:
+                        tag = (ax, 1 if nrm[ax] > 0 else 0)
+                tags.append(tag)
+        elif getattr(sp, "is_extruded", False):
+            mesh = sp.mesh
+            bsp = sp.base_space
+            E2 = mesh.base.n_cells
+            Nz = mesh.n_slices
+            n12 = bsp.n_local
+            # 1D z factors on the iterated rule
+            Vz, Dz = sp.basis.tabulate(t)
+            Mz = (Vz * w[:, None]).T @ Vz * mesh.h_z  # (n1, n1)
+            # lateral faces: base boundary-edge matrix x z mass
+            for e2, T2, tag, *_ in self._mapped_face_mats(bsp, t, w):
+                T3 = np.kron(Mz, T2)  # lz-major local ordering
+                for kz in range(Nz):
+                    cells.append(kz * E2 + e2)
+                    mats.append(T3)
+                    tags.append(tag)
+            # top/bottom: +-dphi_z/dz x curved base mass
+            Vq, _ = self._tensor_tab(bsp.basis, np.stack(
+                [np.tile(t, len(t)), np.repeat(t, len(t))], axis=1
+            ))
+            J2, _ = bsp.mapping.jacobians(np.stack(
+                [np.tile(t, len(t)), np.repeat(t, len(t))], axis=1
+            ))
+            detJ = np.abs(np.linalg.det(J2))  # (E2, n_q2)
+            w2 = np.kron(w, w)
+            M2 = np.einsum("eq,q,qi,qj->eij", detJ, w2, Vq, Vq)
+            Ve, De = sp.basis.tabulate(np.array([0.0, 1.0]))
+            for side, kz, sgn in ((0, 0, -1.0), (1, Nz - 1, 1.0)):
+                Tz = sgn * np.outer(Ve[side], De[side]) / mesh.h_z
+                for e2 in range(E2):
+                    cells.append(kz * E2 + e2)
+                    mats.append(np.kron(Tz, M2[e2]))
+                    tags.append((2, side))
+        else:  # curved 2D quads
+            for e, T, tag, *_ in self._mapped_face_mats(sp, t, w):
+                cells.append(e)
+                mats.append(T)
+                tags.append(tag)
+        if not cells:
+            return (
+                jnp.asarray(np.empty(0, np.int64)),
+                jnp.asarray(
+                    np.empty((0, sp.n_local, sp.n_local))
+                ),
+                [],
+            )
+        return (
+            jnp.asarray(np.asarray(cells, np.int64)),
+            jnp.asarray(np.stack(mats)),
+            tags,
+        )
 
     def advection_rhs(
         self,

@@ -204,17 +204,12 @@ class NavierStokesOperator:
             == Linearization.coupled_implicit_newton
             and parameters.physical_type == PhysicalType.incompressible
             and flag != "0"
-            # below ~32k cells the legacy "t" layout's (E, 89) transposes
-            # outweighed the fusion win; the parity-RESIDENT path has no
-            # per-apply relayouts, so 3D drops the gate to 4096 cells
-            # (27 u-dofs x 4096 anchors is already lane-rich — this puts
-            # the reference's own beltrami_3d config, 16^3 cells, on the
-            # fused kernel). Force with ADAFLO_PALLAS_MATVEC=1.
-            and (
-                mesh.n_cells >= 32768
-                or (self.dim == 3 and mesh.n_cells >= 4096)
-                or flag == "1"
-            )
+            # below ~32k cells the per-apply fixed costs (kernel launch,
+            # pack-boundary preconditioner relayouts) outweigh the fusion
+            # win — measured round 5: beltrami_3d (4096 cells) runs 0.61
+            # s/step resident vs 0.49 on the einsum path, so the gate
+            # stays at 32k; force with ADAFLO_PALLAS_MATVEC=1
+            and (mesh.n_cells >= 32768 or flag == "1")
         )
         if eligible:
             on_tpu = jax.default_backend() == "tpu"

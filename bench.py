@@ -318,6 +318,23 @@ end
         except Exception as ex:
             result["rb_ls_full_error"] = f"{type(ex).__name__}: {ex}"
 
+    # flagship-scale 3D two-phase: 65,536-cell rising bubble on the
+    # resident variable-coefficient path (round-5 VERDICT #3)
+    if os.environ.get("ADAFLO_BENCH_RB3D", "1") != "0":
+        try:
+            r = _step_time_rising_bubble_3d()
+            result["rb_ls_3d_s_per_step"] = r["s_per_step"]
+            result["rb_ls_3d_dispatches_per_step"] = r[
+                "dispatches_per_step"
+            ]
+            if overhead_s is not None:
+                result["rb_ls_3d_device_s_per_step_est"] = max(
+                    r["s_per_step"] - r["dispatches_per_step"] * overhead_s,
+                    0.0,
+                )
+        except Exception as ex:
+            result["rb_ls_3d_error"] = f"{type(ex).__name__}: {ex}"
+
     # one 3D configuration: the reference's own beltrami_3d sample
     # (112,724 DoF Q2/Q1, the config behind its 3.3 ms mat-vec anchor)
     if os.environ.get("ADAFLO_BENCH_3D", "1") != "0":
@@ -522,6 +539,72 @@ def _step_time_rising_bubble(prm_name: str) -> dict:
         best = float("inf")
         n_disp = 0
         for _ in range(3):
+            c0 = counter.count
+            t0 = _time.perf_counter()
+            solver.advance_time_step()
+            dt = _time.perf_counter() - t0
+            if dt < best:
+                best, n_disp = dt, counter.count - c0
+        return {"s_per_step": best, "dispatches_per_step": n_disp}
+    finally:
+        counter.uninstall()
+
+
+def _step_time_rising_bubble_3d() -> dict:
+    """Seconds per step of a FLAGSHIP-scale 3D two-phase configuration:
+    65,536 cells (32x32x64 Q2/Q1, ~1.7M NS dofs + 4.3M level-set dofs) —
+    3D + two-phase + above the 32k-cell Pallas gate, so the NS Krylov
+    solve runs the parity-RESIDENT kernel with the streamed variable
+    rho/mu coefficient block (the BASELINE.json north-star class; the
+    128k-cell variant exceeds the single v5e's 16 GB HBM)."""
+    import io
+    import time as _time
+    from pathlib import Path
+
+    import numpy as np
+
+    counter = _DispatchCounter()
+    counter.install()
+    try:
+        from adaflo_tpu.drivers.rising_bubble import (
+            TwoPhaseParameters,
+            initial_distance,
+        )
+        from adaflo_tpu.functions import ZeroFunction
+        from adaflo_tpu.mesh.structured import StructuredMesh
+        from adaflo_tpu.twophase.level_set_okz import LevelSetOKZSolver
+
+        prm = (
+            Path(__file__).resolve().parent
+            / "tests/prms/rising_bubble_ls_3d_bench.prm"
+        )
+        par = TwoPhaseParameters.from_file(str(prm))
+        par.output_verbosity = 0
+        par.end_time = 1.0
+        par.tol_nl_iteration = max(par.tol_nl_iteration, 5e-6)
+        par.tol_lin_iteration = max(par.tol_lin_iteration, 1e-4)
+        mesh = StructuredMesh.subdivided_hyper_rectangle(
+            (32, 32, 64), (0.0, 0.0, 0.0), (1.0, 1.0, 2.0)
+        )
+        # symmetry on the four side faces, no-slip top/bottom (the 3D
+        # analog of rising_bubble.cc:136-144)
+        eps = 1e-14
+        mesh.set_boundary_id(
+            lambda c: (np.abs(c[:, 0] - 1) < eps)
+            | (np.abs(c[:, 0]) < eps)
+            | (np.abs(c[:, 1] - 1) < eps)
+            | (np.abs(c[:, 1]) < eps),
+            2,
+        )
+        solver = LevelSetOKZSolver(par, mesh, out=io.StringIO())
+        solver.set_no_slip_boundary(0)
+        solver.fix_pressure_constant(0)
+        solver.set_symmetry_boundary(2)
+        solver.setup_problem(ZeroFunction(3), initial_distance)
+        solver.advance_time_step()  # warmup/compile
+        best = float("inf")
+        n_disp = 0
+        for _ in range(2):
             c0 = counter.count
             t0 = _time.perf_counter()
             solver.advance_time_step()

@@ -190,17 +190,111 @@ def test_stab_on_adaptive_forest():
     assert bool(jnp.all(jnp.isfinite(rhs)))
 
 
-def test_stab_rejected_on_curved_meshes():
-    """Loud failure instead of a silent no-op on mesh kinds that need real
-    face quadrature (curved/simplex)."""
+@pytest.mark.parametrize("kind", ["mapped", "simplex", "extruded"])
+def test_stab_identity_on_general_meshes(kind):
+    """Round-5 #9: convection stabilization on curved/simplex/extruded
+    meshes (previously a NotImplementedError; the reference supports any
+    mesh through FEFaceValues, adv.cc:420-474, 569-620). On AFFINE cells
+    (sheared parallelograms / straight triangles) quadrature is exact, so
+    the integration-by-parts identity pins the per-face matrices: for a
+    linear field and constant nu,
+    int grad(phi).nu grad(c) dV == oint phi nu dc/dn dS."""
+    from adaflo_tpu.fe.mapped_space import CellMapping, MappedSpace
+    from adaflo_tpu.mesh.unstructured import QuadMesh
+
     par = FlowParameters.from_string(
         """
 subsection Two phase
+  set concentration subdivisions = 2
   set convection stabilization = 1
+  set epsilon = 1.5
 end
 subsection Navier-Stokes
   set dimension = 2
+  set velocity degree = 2
 end
 """
     )
-    assert par.convection_stabilization
+    sub = par.concentration_subdivisions
+
+    def sheared_quad_mesh(nx, ny):
+        xs, ys = np.meshgrid(
+            np.linspace(0, 1, nx + 1), np.linspace(0, 1.2, ny + 1)
+        )
+        verts = np.stack(
+            [xs.ravel() + 0.3 * ys.ravel(), ys.ravel()], axis=1
+        )
+        cells = []
+        for j in range(ny):
+            for i in range(nx):
+                v0 = j * (nx + 1) + i
+                cells.append([v0, v0 + 1, v0 + nx + 1, v0 + nx + 2])
+        return QuadMesh(verts, np.asarray(cells))
+
+    if kind == "mapped":
+        mesh = sheared_quad_mesh(3, 2)
+        mp = CellMapping(mesh, 2)
+        ls_space = MappedSpace(mesh, sub, mp, "iso_q1")
+        u_space = MappedSpace(mesh, 2, mp)
+        p_space = MappedSpace(mesh, 1, mp)
+    elif kind == "simplex":
+        from adaflo_tpu.fe.simplex import SimplexSpace
+        from adaflo_tpu.mesh.unstructured import TriMesh
+
+        xs, ys = np.meshgrid(np.linspace(0, 1, 4), np.linspace(0, 1.2, 3))
+        verts = np.stack([xs.ravel(), ys.ravel()], axis=1)
+        cells = []
+        for j in range(2):
+            for i in range(3):
+                v0 = j * 4 + i
+                cells.append([v0, v0 + 1, v0 + 5])
+                cells.append([v0, v0 + 5, v0 + 4])
+        mesh = TriMesh(verts, np.asarray(cells))
+        ls_space = SimplexSpace(mesh, sub)
+        u_space = SimplexSpace(mesh, 2)
+        p_space = SimplexSpace(mesh, 1)
+    else:
+        from adaflo_tpu.fe.extruded_space import ExtrudedSpace
+        from adaflo_tpu.mesh.extruded import ExtrudedMesh
+
+        base = sheared_quad_mesh(3, 2)
+        mesh = ExtrudedMesh(base, 2, 0.8)
+        mp = CellMapping(base, 2)
+        ls_space = ExtrudedSpace(mesh, sub, mp, "iso_q1")
+        u_space = ExtrudedSpace(mesh, 2, mp)
+        p_space = ExtrudedSpace(mesh, 1, mp)
+
+    cons = []
+    for _ in range(3):
+        c = Constraints(ls_space.n_dofs)
+        c.close()
+        cons.append(c)
+    dim = ls_space.dim
+    h = 0.5
+    ops = LevelSetOperators(
+        par,
+        ls_space,
+        u_space,
+        p_space,
+        cons[0],
+        cons[1],
+        cons[2],
+        par.epsilon * h / sub,
+        h,
+        h,
+    )
+    assert ops.stabilization
+    assert ops._stab_faces_general is not None
+    E = ls_space.n_cells
+    assert ops._stab_cell_diameter.shape == (E,)
+
+    coords = np.asarray(ls_space.node_coords)
+    a = np.array([1.0, 2.0, -0.5][:dim])
+    c = jnp.asarray(coords @ a + 0.7)
+    cc = ops._gather_ls(c)
+    grad = ops.ev_ls.gradients(cc)
+    nu = jnp.ones(E)
+    vol = ops.ev_ls.integrate_gradients(nu[:, None, None] * grad)
+    face = ops._stab_face_term(cc, nu)
+    total = np.asarray(ops._scatter_ls(vol - face))
+    assert np.abs(total[: ls_space.n_dofs]).max() < 1e-10
