@@ -318,23 +318,6 @@ end
         except Exception as ex:
             result["rb_ls_full_error"] = f"{type(ex).__name__}: {ex}"
 
-    # flagship-scale 3D two-phase: 65,536-cell rising bubble on the
-    # resident variable-coefficient path (round-5 VERDICT #3)
-    if os.environ.get("ADAFLO_BENCH_RB3D", "1") != "0":
-        try:
-            r = _step_time_rising_bubble_3d()
-            result["rb_ls_3d_s_per_step"] = r["s_per_step"]
-            result["rb_ls_3d_dispatches_per_step"] = r[
-                "dispatches_per_step"
-            ]
-            if overhead_s is not None:
-                result["rb_ls_3d_device_s_per_step_est"] = max(
-                    r["s_per_step"] - r["dispatches_per_step"] * overhead_s,
-                    0.0,
-                )
-        except Exception as ex:
-            result["rb_ls_3d_error"] = f"{type(ex).__name__}: {ex}"
-
     # one 3D configuration: the reference's own beltrami_3d sample
     # (112,724 DoF Q2/Q1, the config behind its 3.3 ms mat-vec anchor)
     if os.environ.get("ADAFLO_BENCH_3D", "1") != "0":
@@ -351,6 +334,36 @@ end
                 )
         except Exception as ex:
             result["beltrami3d_error"] = f"{type(ex).__name__}: {ex}"
+
+    # flagship-scale 3D two-phase: 65,536-cell rising bubble on the
+    # resident variable-coefficient path (round-5 VERDICT #3). Runs LAST
+    # under a hard alarm so a cold-cache compile blowout on this largest
+    # configuration can never cost the whole bench run.
+    if os.environ.get("ADAFLO_BENCH_RB3D", "1") != "0":
+        import signal
+
+        def _alarm(_sig, _frm):
+            raise TimeoutError("rb3d bench exceeded its time budget")
+
+        old_h = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("ADAFLO_BENCH_RB3D_BUDGET_S",
+                                        "1500")))
+        try:
+            r = _step_time_rising_bubble_3d()
+            result["rb_ls_3d_s_per_step"] = r["s_per_step"]
+            result["rb_ls_3d_dispatches_per_step"] = r[
+                "dispatches_per_step"
+            ]
+            if overhead_s is not None:
+                result["rb_ls_3d_device_s_per_step_est"] = max(
+                    r["s_per_step"] - r["dispatches_per_step"] * overhead_s,
+                    0.0,
+                )
+        except Exception as ex:
+            result["rb_ls_3d_error"] = f"{type(ex).__name__}: {ex}"
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_h)
 
     print(json.dumps(result))
 

@@ -165,6 +165,72 @@ def make_kernel_pipe(g, dim, rows_table, win, block, parts):
     return kernel
 
 
+
+
+def make_kernel_unroll2(g, dim, rows_table, win, block, parts):
+    """Two blocks per grid step, phases interleaved so the scheduler can
+    overlap block B's gather copies (VPU) with block A's dots (MXU):
+    separate x/n buffers per sub-block = independent refs = visible ILP."""
+    from adaflo_tpu.ops.pallas_matvec import _block_core
+
+    n_cols = len(rows_table)
+
+    def kernel(
+        beta_ref, Ae_ref, Aev_ref, M_ref, Ai_ref, mask_ref, subs_hbm,
+        su_ref, out_ref, slab, xA, xB, nA, nB, acc_ref, sem,
+    ):
+        i = pl.program_id(0)
+        nblk = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+        def copy_in(blk, s):
+            return pltpu.make_async_copy(
+                subs_hbm.at[:, pl.ds(blk * (2 * block), 2 * block + (win - block))],
+                slab.at[s], sem.at[s]
+            )
+
+        @pl.when(i == 0)
+        def _first():
+            copy_in(i, slot).start()
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(i + 1 < nblk)
+        def _prefetch():
+            copy_in(i + 1, 1 - slot).start()
+
+        copy_in(i, slot).wait()
+        # phase 1: gather A then B (independent buffers)
+        for k, (srow, off) in enumerate(rows_table):
+            xA[k, :] = slab[slot, srow, off : off + block]
+        for k, (srow, off) in enumerate(rows_table):
+            xB[k, :] = slab[slot, srow, block + off : block + off + block]
+        beta = beta_ref[0]
+        pt = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+        a = xA[:]
+        b = xB[:]
+        rA = jnp.dot(Ae_ref[:], a, **pt)
+        rB = jnp.dot(Ae_ref[:], b, **pt)
+        s1 = jnp.dot(Aev_ref[:], su_ref[:, 0:block], **pt)
+        s2 = jnp.dot(Aev_ref[:], su_ref[:, block : 2 * block], **pt)
+        _block_core(g, dim, False, beta, a, rA, s1, M_ref, Ai_ref, nA, xA)
+        _block_core(g, dim, False, beta, b, rB, s2, M_ref, Ai_ref, nB, xB)
+        xA[:] = xA[:] * mask_ref[:, 0:block]
+        xB[:] = xB[:] * mask_ref[:, block : 2 * block]
+        for k, (srow, off) in enumerate(rows_table):
+            acc_ref[srow, off : off + block] += xA[k, :]
+        out_ref[:, 0:block] = acc_ref[:, :block]
+        acc_ref[:, : win - block] = acc_ref[:, block:win]
+        acc_ref[:, win - block :] = jnp.zeros_like(acc_ref[:, win - block :])
+        for k, (srow, off) in enumerate(rows_table):
+            acc_ref[srow, off : off + block] += xB[k, :]
+        out_ref[:, block : 2 * block] = acc_ref[:, :block]
+        acc_ref[:, : win - block] = acc_ref[:, block:win]
+        acc_ref[:, win - block :] = jnp.zeros_like(acc_ref[:, win - block :])
+
+    return kernel
+
+
 def make_kernel(g, dim, rows_table, win, block, parts):
     from adaflo_tpu.ops.pallas_matvec import _block_core
 
@@ -295,7 +361,20 @@ def main():
     Aev = jnp.asarray(tables.A_evg[:, :n_su], jnp.bfloat16)
 
     def run_variant(parts):
-        if parts == "rowdma":
+        if parts == "unroll2":
+            kern = make_kernel_unroll2(
+                g, dim, tuple(rows_table), win, block, parts
+            )
+            scratch = [
+                pltpu.VMEM((2, R_pad, 2 * block + (win - block)), dtype),
+                pltpu.VMEM((n_cols, block), dtype),
+                pltpu.VMEM((n_cols, block), dtype),
+                pltpu.VMEM((dim * g, block), dtype),
+                pltpu.VMEM((dim * g, block), dtype),
+                pltpu.VMEM((R_pad, win), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        elif parts == "rowdma":
             kern = make_kernel_rowdma(
                 g, dim, tuple(rows_table), win, block, parts
             )
@@ -329,26 +408,27 @@ def main():
         rep2 = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
+        bmul = 2 if parts == "unroll2" else 1
         nc_k = -(-n_cols // 8) * 8 if parts == "pipe" else n_cols
         Ae_k = jnp.pad(Ae, ((0, 0), (0, nc_k - n_cols)))
         M_k = jnp.pad(M89, ((0, nc_k - n_cols), (0, nc_k - n_cols)))
         Ai_k = jnp.pad(A_ics, ((0, nc_k - n_cols), (0, 0)))
         call = pl.pallas_call(
             kern,
-            grid=(EA_pad // block,),
+            grid=(EA_pad // (bmul * block),),
             in_specs=[
                 pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
                 rep2((n_rows, nc_k)),
                 rep2((n_rows, n_su)),
                 rep2((nc_k, nc_k)),
                 rep2((nc_k, dim * g)),
-                pl.BlockSpec((1, block), lambda i: (0, i),
+                pl.BlockSpec((1, bmul * block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((n_su, block), lambda i: (0, i),
+                pl.BlockSpec((n_su, bmul * block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((R_pad, block), lambda i: (0, i),
+            out_specs=pl.BlockSpec((R_pad, bmul * block), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((R_pad, EA_pad), dtype),
             scratch_shapes=scratch,
