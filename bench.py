@@ -431,6 +431,9 @@ def _matvec_time(cells: int, layout: str, reps: int) -> dict:
 
         @jax.jit
         def chained(uu, pp, ll):
+            # fused scale+norm chain: each iteration is ONE kernel (no
+            # separate normalize pass — at 15.1M dofs that pass alone
+            # costs ~0.35 ms/apply)
             x = op.pr_pack(uu, pp)
 
             def body(i, carry):
@@ -565,11 +568,12 @@ def _step_time_rising_bubble(prm_name: str) -> dict:
 
 def _step_time_rising_bubble_3d() -> dict:
     """Seconds per step of a FLAGSHIP-scale 3D two-phase configuration:
-    65,536 cells (32x32x64 Q2/Q1, ~1.7M NS dofs + 4.3M level-set dofs) —
-    3D + two-phase + above the 32k-cell Pallas gate, so the NS Krylov
+    32,768 cells (32^3 Q2/Q1, ~860k NS dofs + 2.15M level-set dofs) —
+    3D + two-phase + at the 32k-cell Pallas gate, so the NS Krylov
     solve runs the parity-RESIDENT kernel with the streamed variable
     rho/mu coefficient block (the BASELINE.json north-star class; the
-    128k-cell variant exceeds the single v5e's 16 GB HBM)."""
+    64k- and 128k-cell variants exceed the single v5e's 16 GB HBM
+    through the level-set pipeline's working set)."""
     import io
     import time as _time
     from pathlib import Path
@@ -597,7 +601,7 @@ def _step_time_rising_bubble_3d() -> dict:
         par.tol_nl_iteration = max(par.tol_nl_iteration, 5e-6)
         par.tol_lin_iteration = max(par.tol_lin_iteration, 1e-4)
         mesh = StructuredMesh.subdivided_hyper_rectangle(
-            (32, 32, 64), (0.0, 0.0, 0.0), (1.0, 1.0, 2.0)
+            (32, 32, 32), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
         )
         # symmetry on the four side faces, no-slip top/bottom (the 3D
         # analog of rising_bubble.cc:136-144)
