@@ -600,6 +600,11 @@ def _step_time_rising_bubble_3d() -> dict:
         par.end_time = 1.0
         par.tol_nl_iteration = max(par.tol_nl_iteration, 5e-6)
         par.tol_lin_iteration = max(par.tol_lin_iteration, 1e-4)
+        # bound the Krylov basis memory: ~10 jitted programs (fused
+        # pre-Newton, Newton loop, advect+reinit, preconditioner build,
+        # ...) hold their workspaces concurrently on the 16 GB chip, and
+        # a restart-50 FGMRES basis in several of them tips it over
+        par.max_lin_iteration = min(par.max_lin_iteration, 30)
         mesh = StructuredMesh.subdivided_hyper_rectangle(
             (32, 32, 32), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
         )
