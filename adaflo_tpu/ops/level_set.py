@@ -284,7 +284,9 @@ class LevelSetOperators:
             )
             return r
 
-        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
+        # batch 4: see navier_stokes.velocity_block_diagonal (tile-padded
+        # per-batch gradient temporaries)
+        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 4))
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
         return self.lat_ls.scatter_add(diag_loc)

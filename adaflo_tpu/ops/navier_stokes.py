@@ -1175,7 +1175,12 @@ class NavierStokesOperator:
             uc = jnp.broadcast_to(unit[None], (E, dim, n_loc))
             return self.local_velocity_apply(uc, tw, lin, coeffs)
 
-        out = jax.lax.map(apply_unit, units, batch_size=min(dim * n_loc, 16))
+        # batch 4, not 16: each batched apply materializes (B, E, dim, n1^dim)
+        # gradient intermediates whose (3, 3) minor dims tile-pad to
+        # (8, 128) on TPU (~10x memory) — batch 16 held three ~6.6 GB
+        # buffers at 128k cells and OOMed the 16 GB chip during the
+        # flagship 3D two-phase setup
+        out = jax.lax.map(apply_unit, units, batch_size=min(dim * n_loc, 4))
         # out: (dim*n_loc, E, dim, n_loc); take the matching entry
         out = out.reshape(dim, n_loc, E, dim, n_loc)
         idx_c = jnp.arange(dim)[:, None]
@@ -1359,7 +1364,7 @@ class NavierStokesOperator:
                 g = g * inv_rho_weight
             return ev.integrate_gradients(g)
 
-        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
+        out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 4))
         idx = jnp.arange(n_loc)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))  # (E, n_loc)
         d = self.lat_p.scatter_add(diag_loc)

@@ -159,7 +159,7 @@ class ForestGMG:
             g = g * (beta if beta.ndim == 0 else beta[:, None, None])
             return r + lev.ev.integrate_gradients(g)
 
-        out = jax.lax.map(apply_unit, units, batch_size=min(nl, 16))
+        out = jax.lax.map(apply_unit, units, batch_size=min(nl, 4))
         idx = jnp.arange(nl)
         diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
         d = (

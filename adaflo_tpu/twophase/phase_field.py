@@ -269,7 +269,7 @@ class PhaseFieldSolver(TwoPhaseBaseAlgorithm):
                     coeff * ev.gradients(pc)
                 )
 
-            out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 16))
+            out = jax.lax.map(apply_unit, units, batch_size=min(n_loc, 4))
             idx = jnp.arange(n_loc)
             diag_loc = jnp.transpose(out[idx, :, idx], (1, 0))
             d = jnp.zeros(self.ls_space.n_dofs_padded)
