@@ -335,21 +335,43 @@ end
         except Exception as ex:
             result["beltrami3d_error"] = f"{type(ex).__name__}: {ex}"
 
-    # flagship-scale 3D two-phase: 65,536-cell rising bubble on the
-    # resident variable-coefficient path (round-5 VERDICT #3). Runs LAST
-    # under a hard alarm so a cold-cache compile blowout on this largest
-    # configuration can never cost the whole bench run.
+    # flagship-scale 3D two-phase: 32,768-cell rising bubble on the
+    # resident variable-coefficient path (round-5 VERDICT #3). Runs in a
+    # SUBPROCESS with its own time budget: a fresh process sees a clean
+    # chip (the bench main still holds every earlier section's arrays and
+    # executables — running this largest configuration in-process
+    # exhausted HBM), and a compile blowout can never cost the whole
+    # bench run.
     if os.environ.get("ADAFLO_BENCH_RB3D", "1") != "0":
-        import signal
+        import subprocess
 
-        def _alarm(_sig, _frm):
-            raise TimeoutError("rb3d bench exceeded its time budget")
-
-        old_h = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(int(os.environ.get("ADAFLO_BENCH_RB3D_BUDGET_S",
-                                        "1500")))
+        script = (
+            "import os, sys, json\n"
+            "os.environ['ADAFLO_TPU_NO_X64'] = '1'\n"
+            f"sys.path.insert(0, {repr(os.path.dirname(os.path.abspath(__file__)))})\n"
+            "import bench\n"
+            "r = bench._step_time_rising_bubble_3d()\n"
+            "print('RB3D_JSON ' + json.dumps(r))\n"
+        )
         try:
-            r = _step_time_rising_bubble_3d()
+            proc = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("ADAFLO_BENCH_RB3D_BUDGET_S",
+                                           "2400")),
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines()
+                 if l.startswith("RB3D_JSON ")),
+                None,
+            )
+            if line is None:
+                tail = (proc.stderr or "").strip().splitlines()[-1:]
+                raise RuntimeError(
+                    f"subprocess rc={proc.returncode}: {tail}"
+                )
+            r = json.loads(line[len("RB3D_JSON "):])
             result["rb_ls_3d_s_per_step"] = r["s_per_step"]
             result["rb_ls_3d_dispatches_per_step"] = r[
                 "dispatches_per_step"
@@ -360,10 +382,7 @@ end
                     0.0,
                 )
         except Exception as ex:
-            result["rb_ls_3d_error"] = f"{type(ex).__name__}: {ex}"
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old_h)
+            result["rb_ls_3d_error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
 
     print(json.dumps(result))
 
