@@ -624,6 +624,11 @@ def _step_time_rising_bubble_3d() -> dict:
         # ...) hold their workspaces concurrently on the 16 GB chip, and
         # a restart-50 FGMRES basis in several of them tips it over
         par.max_lin_iteration = min(par.max_lin_iteration, 30)
+        # the mesh below is built at FULL resolution: zero the prm's
+        # refine count or setup_problem would refine it 2^(3*3)x more
+        # (the source of this bench's serial "HBM OOMs" — they were
+        # 16.8M-cell meshes)
+        par.global_refinements = 0
         mesh = StructuredMesh.subdivided_hyper_rectangle(
             (32, 32, 32), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
         )
