@@ -580,7 +580,11 @@ def pr_params(rows_table, n_anchors: int, block: int | None = None):
     L_need is the minimum input column count so the last block's DMA window
     never runs off the end."""
     if block is None:
-        block = int(os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "4096"))
+        block = int(# 3584 (not 4096): the r4 block sweep was flat 3584-4096,
+            # and the VARIABLE-coefficient + ids configuration of the
+            # round-5 kernel misses the 16 MB Mosaic VMEM budget by
+            # 100 KB at 4096
+            os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "3584"))
     block = min(block, max(128, -(-n_anchors // 128) * 128))
     EA_pad = -(-n_anchors // block) * block
     max_off = max(off for _, off in rows_table)
@@ -776,7 +780,11 @@ def pr2_params(rows_table, n_anchors: int, block: int | None = None):
     that the phantom mask kills). L >= EA + max_off by construction, so
     every real anchor's gather window hits valid (zero-padded) data."""
     if block is None:
-        block = int(os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "4096"))
+        block = int(# 3584 (not 4096): the r4 block sweep was flat 3584-4096,
+            # and the VARIABLE-coefficient + ids configuration of the
+            # round-5 kernel misses the 16 MB Mosaic VMEM budget by
+            # 100 KB at 4096
+            os.environ.get("ADAFLO_PALLAS_PR_BLOCK", "3584"))
     block = min(block, max(128, -(-n_anchors // 128) * 128))
     max_off = max(off for _, off in rows_table)
     n_extra = -(-max_off // block)
