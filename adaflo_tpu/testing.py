@@ -50,6 +50,11 @@ def normalize_output(text: str) -> list[str]:
         # (system/tolerance dependent), like the reference's sed pass
         # (tests/CMakeLists.txt:152-185)
         line = re.sub(r"/\d+\]", "/ITER]", line)
+        if "ITER" in line:
+            # collapse column padding: the scrubbed iteration count's digit
+            # width (9 vs 10 its) otherwise leaks into the whitespace
+            # template and fails lines whose numbers all match
+            line = re.sub(r"\s{2,}", "  ", line.rstrip())
         line = line.rstrip()
         # collapse blank-line runs (stripping timer/statistics blocks leaves
         # a variable number of blanks around them)
