@@ -197,8 +197,9 @@ end
     assert np.abs(p_pr - p_ref).max() < 1e-6 * max(np.abs(p_ref).max(), 1.0)
 
 
+@pytest.mark.parametrize("dim", [3, 2])
 @pytest.mark.parametrize("variant", ["constrained", "varcoeff", "both"])
-def test_pr2_constraints_and_variable_coefficients(monkeypatch, variant):
+def test_pr2_constraints_and_variable_coefficients(monkeypatch, variant, dim):
     """Round-5 kernel features: (a) the constraint-identity rows fold into
     the resident kernel as a signed ids stream (gather-side resolve +
     emission-side identity), (b) per-q-point variable rho/mu/damping
@@ -207,12 +208,12 @@ def test_pr2_constraints_and_variable_coefficients(monkeypatch, variant):
     einsum vmult to machine precision."""
     import jax
 
-    par, us, ps, cu, cp = _make_op(3, 2)
+    par, us, ps, cu, cp = _make_op(dim, 2)
     if variant in ("constrained", "both"):
         # Dirichlet rows on two boundaries + a pressure fix dof
         bdofs = us.boundary_dofs(0)
         cu = []
-        for c in range(3):
+        for c in range(dim):
             con = Constraints(us.n_dofs)
             con.add_dirichlet(bdofs)
             con.close()
@@ -229,7 +230,7 @@ def test_pr2_constraints_and_variable_coefficients(monkeypatch, variant):
 
     tw = TimeWeights(*(jnp.float64(v) for v in (30.0, -30.0, 0.0, 1.0)))
     key = jax.random.PRNGKey(5)
-    u = jax.random.normal(key, (3, us.n_dofs))
+    u = jax.random.normal(key, (dim, us.n_dofs))
     p = jax.random.normal(key, (ps.n_dofs,))
     ld = op_ref._gather_u(u, resolve=False)
     lv = op_ref.ev_u.values(ld)
